@@ -1,0 +1,137 @@
+"""(tile, depth) pair expansion, sort, and block alignment — fixed shapes.
+
+The reference generates pairs with a dynamic atomic write cursor
+(generateTilePairs, tiled_shaders.metal:745-794), sorts 64-bit keys on the CPU
+(tiled_rasterizer.mm:27-102) and binary-searches tile ranges
+(buildTileRanges, sort.metal:553-589).  None of that maps to TPU, so this
+module re-derives the same result functionally:
+
+  1. prefix-sum of per-Gaussian tile counts assigns each pair a slot,
+  2. one vectorized gather materializes (tile_id, depth, gaussian_id) for every
+     slot of a fixed-capacity pair array,
+  3. ``jax.lax.sort`` orders lexicographically by (tile_id, depth) — two 32-bit
+     keys instead of the reference's packed 64-bit key,
+  4. pairs are scattered into a *block-aligned* layout where every tile's run
+     is padded to a multiple of ``block`` pairs, so each block of the render
+     kernel touches exactly one tile.
+
+Everything is static-shape; overflow beyond ``pair_capacity`` drops whole
+Gaussians exactly like the reference's bounds check
+(tiled_shaders.metal:779-780).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplatting_tpu.ops.projection import Projected
+
+
+class PairBlocks(NamedTuple):
+    """Block-aligned sorted pairs.
+
+    gaussian_id: [num_blocks * block] int32, -1 for padding slots.
+    block_tile:  [num_blocks] int32 tile id per block (num_tiles = padding).
+    num_pairs:   [] int32, pairs actually emitted (diagnostics / overflow).
+    overflow:    [] bool, capacity was exceeded (some Gaussians dropped).
+    """
+
+    gaussian_id: jnp.ndarray
+    block_tile: jnp.ndarray
+    num_pairs: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
+    """Static capacity of the block-aligned array: every tile can waste at most
+    block-1 slots of padding."""
+    return pair_capacity + num_tiles * block
+
+
+def build_pairs(
+    proj: Projected,
+    tiles_x: int,
+    tiles_y: int,
+    pair_capacity: int,
+    block: int,
+) -> PairBlocks:
+    num_tiles = tiles_x * tiles_y
+    n = proj.depth.shape[0]
+    p_cap = pair_capacity
+    a_cap = aligned_capacity(p_cap, num_tiles, block)
+    num_blocks = a_cap // block
+
+    counts = proj.n_tiles.astype(jnp.int32)  # [N], 0 for culled
+    cum = jnp.cumsum(counts)                 # inclusive
+    offsets = cum - counts                   # exclusive
+    total = cum[-1] if n > 0 else jnp.int32(0)
+
+    # Capacity bound: drop Gaussians whose run would cross the end
+    # (reference: writePos + tileCount > maxPairs -> return).
+    fits = (offsets + counts) <= p_cap
+    counts = jnp.where(fits, counts, 0)
+    overflow = total > p_cap
+
+    # --- expand: slot j belongs to the Gaussian whose cumulative range covers j
+    slots = jnp.arange(p_cap, dtype=jnp.int32)
+    # recompute cumsum with dropped Gaussians removed so slots stay dense
+    cum = jnp.cumsum(counts)
+    offsets = cum - counts
+    total = jnp.minimum(cum[-1], p_cap) if n > 0 else jnp.int32(0)
+    gid = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    gid = jnp.minimum(gid, n - 1)
+    slot_valid = slots < total
+    rank = slots - offsets[gid]
+
+    tmin = proj.tile_min[gid]          # [P, 2]
+    span_x = proj.tile_max[gid, 0] - tmin[:, 0] + 1
+    ty = tmin[:, 1] + rank // jnp.maximum(span_x, 1)
+    tx = tmin[:, 0] + rank % jnp.maximum(span_x, 1)
+    tile_id = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    depth = jnp.where(slot_valid, proj.depth[gid], jnp.inf).astype(jnp.float32)
+    gid = jnp.where(slot_valid, gid, -1)
+
+    # --- lexicographic sort by (tile, depth); invalid pairs sink to the end
+    sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2
+    )
+
+    # --- per-tile counts and starts in the sorted array
+    ones = jnp.where(sorted_tile < num_tiles, 1, 0)
+    tile_counts = jax.ops.segment_sum(
+        ones, sorted_tile, num_segments=num_tiles + 1
+    )[:num_tiles]
+    tile_starts = jnp.cumsum(tile_counts) - tile_counts
+
+    # --- block-aligned layout: tile t occupies [aligned_starts[t],
+    #     aligned_starts[t] + ceil(count/block)*block)
+    aligned_counts = -(-tile_counts // block) * block
+    aligned_cum = jnp.cumsum(aligned_counts)
+    aligned_starts = aligned_cum - aligned_counts
+
+    # scatter sorted pairs to their aligned position
+    sorted_pos = jnp.arange(p_cap, dtype=jnp.int32)
+    pair_ok = sorted_tile < num_tiles
+    safe_tile = jnp.minimum(sorted_tile, num_tiles - 1)
+    rank_in_tile = sorted_pos - tile_starts[safe_tile]
+    dst = jnp.where(pair_ok, aligned_starts[safe_tile] + rank_in_tile, a_cap)
+    aligned_gid = jnp.full((a_cap + 1,), -1, jnp.int32)
+    aligned_gid = aligned_gid.at[dst].set(sorted_gid, mode="drop")
+    aligned_gid = aligned_gid[:a_cap]
+
+    # tile id of each block (blocks never straddle tiles by construction)
+    block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    block_tile = jnp.searchsorted(aligned_cum, block_starts, side="right").astype(
+        jnp.int32
+    )
+    block_tile = jnp.minimum(block_tile, num_tiles)
+
+    return PairBlocks(
+        gaussian_id=aligned_gid,
+        block_tile=block_tile,
+        num_pairs=total,
+        overflow=overflow,
+    )

@@ -1,0 +1,230 @@
+"""Differentiable tiled rasterizer — block-parallel alpha blending on the MXU.
+
+Design (TPU-first, not a port of tiledForward/tiledBackward):
+
+The reference walks each pixel serially through its tile's depth-sorted
+Gaussians (tiled_shaders.metal:307-385) and hand-derives a transmittance-replay
+backward with atomic float accumulation (tiled_shaders.metal:388-738).  On TPU
+we exploit that alpha compositing is *associative* in (color, transmittance)
+space:  a run of Gaussians composes to a pair (C, T) and two runs combine as
+(C1 + T1*C2, T1*T2).  So:
+
+  * pairs are grouped into fixed-size blocks of B Gaussians per 16x16 tile
+    (ops/pairs.py guarantees one tile per block);
+  * each block evaluates all 256 x B Gaussian powers as ONE matmul
+    [256, 6] @ [6, B]: the quadratic form -0.5 d^T conic d expands into 6
+    pixel monomials (x2, xy, y2, x, y, 1) in tile-local coordinates times 6
+    per-Gaussian coefficients — MXU work instead of a scalar loop;
+  * the in-block front-to-back blend is a log-space cumulative sum
+    (T_k = exp(cumsum log(1-alpha)));
+  * blocks compose across a tile with a segmented prefix over block summaries
+    (C_b, S_b = sum log(1-alpha)) — cheap, parallel, deterministic;
+  * the backward pass is jax.grad: jax.checkpoint on the per-chunk kernel
+    re-materializes block internals, which IS the reference's transmittance
+    replay, but derived automatically and with deterministic segment-sum
+    gradient accumulation instead of atomics.
+
+Numerics: powers are evaluated in tile-local coordinates (pixel offsets in
+[-7.5, 7.5]) so the matmul form loses no precision vs the reference's direct
+d^T conic d; the per-pair constant term is one fp32 quadratic-form evaluation,
+identical to the reference's per-pixel evaluation error profile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplatting_tpu.config import RasterConfig
+from gaussiansplatting_tpu.core.camera import Camera
+from gaussiansplatting_tpu.core.gaussians import GaussianParams
+from gaussiansplatting_tpu.ops import pairs as pairs_mod
+from gaussiansplatting_tpu.ops import projection as proj_mod
+
+
+class RenderAux(NamedTuple):
+    num_pairs: jnp.ndarray   # [] int32 pairs emitted this frame
+    overflow: jnp.ndarray    # [] bool pair capacity exceeded
+
+
+def _pixel_features(tile_size: int) -> jnp.ndarray:
+    """[tile_size^2, 6] monomials (x2, xy, y2, x, y, 1) of tile-local pixel
+    centers; identical for every tile, so computed once at trace time."""
+    half = tile_size / 2.0
+    coords = jnp.arange(tile_size, dtype=jnp.float32) + 0.5 - half
+    y, x = jnp.meshgrid(coords, coords, indexing="ij")  # row-major pixel order
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    return jnp.stack([x * x, x * y, y * y, x, y, jnp.ones_like(x)], axis=-1)
+
+
+def _color_with_dead_zone(raw_color: jnp.ndarray) -> jnp.ndarray:
+    """clamp(SH_C0*dc + 0.5, 0, 1) whose gradient is zeroed outside
+    (0.01, 0.99) — the reference zeroes dL/dColor at those margins to stop
+    pushing saturated colors further (tiled_shaders.metal:505-507)."""
+    c = jnp.clip(raw_color, 0.0, 1.0)
+    live = (c > 0.01) & (c < 0.99)
+    return jnp.where(live, c, jax.lax.stop_gradient(c))
+
+
+def _block_blend(
+    mu: jnp.ndarray,       # [blocks, B, 2] screen pos relative to tile center
+    conic: jnp.ndarray,    # [blocks, B, 3]
+    opacity: jnp.ndarray,  # [blocks, B]
+    color: jnp.ndarray,    # [blocks, B, 3]
+    valid: jnp.ndarray,    # [blocks, B]
+    feats: jnp.ndarray,    # [P2, 6] pixel monomials (P2 = tile_size^2)
+    cfg: RasterConfig,
+):
+    """Blend each block independently; returns per-block summaries
+    (C_b [blocks, P2, 3], S_b [blocks, P2])."""
+    a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
+    mx, my = mu[..., 0], mu[..., 1]
+    coef = jnp.stack(
+        [
+            -0.5 * a,
+            -b,
+            -0.5 * c,
+            a * mx + b * my,
+            b * mx + c * my,
+            -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
+        ],
+        axis=-1,
+    )  # [blocks, B, 6]
+
+    # [blocks, P2, B] = [P2, 6] @ [blocks, 6, B]  — MXU
+    power = jnp.einsum(
+        "pf,kbf->kpb", feats, coef, preferred_element_type=jnp.float32
+    )
+
+    g = jnp.exp(power)
+    raw_alpha = opacity[:, None, :] * g
+    # alpha cap: forward min(., 0.99) but gradient flows as if uncapped
+    # (the reference backward ignores the cap, tiled_shaders.metal:493,518).
+    alpha = raw_alpha + jax.lax.stop_gradient(
+        jnp.minimum(raw_alpha, cfg.alpha_cap) - raw_alpha
+    )
+    conic_mag = jnp.abs(a) + jnp.abs(b) + jnp.abs(c)  # [blocks, B]
+    mask = (
+        valid[:, None, :]
+        & (conic_mag[:, None, :] >= 1e-4)          # tiled_shaders.metal:350-351
+        & (power <= 0.0)                           # skip power > 0
+        & (power >= cfg.power_floor)               # skip power < -4.5
+        & (alpha >= cfg.alpha_floor)               # skip alpha < 1/255
+    )
+    alpha = jnp.where(mask, alpha, 0.0)
+
+    log1m = jnp.log1p(-alpha)                      # >= log(0.01), finite
+    t_local = jnp.exp(jnp.cumsum(log1m, axis=-1) - log1m)  # exclusive prefix
+    weight = alpha * t_local                       # [blocks, P2, B]
+
+    c_b = jnp.einsum(
+        "kpb,kbc->kpc", weight, color, preferred_element_type=jnp.float32
+    )
+    s_b = jnp.sum(log1m, axis=-1)                  # [blocks, P2]
+    return c_b, s_b
+
+
+def render(
+    params: GaussianParams,
+    camera: Camera,
+    cfg: RasterConfig,
+    vs_dummy: jnp.ndarray | None = None,
+    chunk_blocks: int = 256,
+):
+    """Render one view.  Returns (image [H, W, 3] float32, RenderAux).
+
+    vs_dummy: optional [N, 2] zeros added to projected screen positions; its
+    cotangent is the per-Gaussian view-space positional gradient the density
+    controller accumulates (reference: gradients.viewspace_grad_*,
+    tiled_shaders.metal:717-720).
+    """
+    width, height = camera.width, camera.height
+    ts = cfg.tile_size
+    tiles_x = proj_mod.num_tiles(width, ts)
+    tiles_y = proj_mod.num_tiles(height, ts)
+    num_tiles_total = tiles_x * tiles_y
+    p2 = ts * ts
+    block = cfg.pair_block
+
+    proj = proj_mod.project(params, camera, cfg)
+    screen_pos = proj.screen_pos
+    if vs_dummy is not None:
+        screen_pos = screen_pos + vs_dummy
+    color = _color_with_dead_zone(proj.color)
+
+    pair_blocks = pairs_mod.build_pairs(
+        proj, tiles_x, tiles_y, cfg.pair_capacity, block
+    )
+    a_cap = pair_blocks.gaussian_id.shape[0]
+    num_blocks = a_cap // block
+
+    # ---- gather per-pair data (block-major) ----
+    gid = pair_blocks.gaussian_id.reshape(num_blocks, block)
+    pair_valid = gid >= 0
+    safe_gid = jnp.maximum(gid, 0)
+
+    block_tile = jnp.minimum(pair_blocks.block_tile, num_tiles_total - 1)
+    tile_cx = (block_tile % tiles_x).astype(jnp.float32) * ts + ts / 2.0
+    tile_cy = (block_tile // tiles_x).astype(jnp.float32) * ts + ts / 2.0
+    tile_center = jnp.stack([tile_cx, tile_cy], axis=-1)  # [NB, 2]
+
+    mu = screen_pos[safe_gid] - tile_center[:, None, :]   # [NB, B, 2]
+    b_conic = proj.conic[safe_gid]
+    b_opacity = proj.opacity[safe_gid]
+    b_color = color[safe_gid]
+
+    # ---- per-chunk blended summaries (checkpointed: backward re-materializes
+    #      block internals = transmittance replay) ----
+    feats = _pixel_features(ts)
+    chunk_blocks = min(chunk_blocks, num_blocks)
+    n_chunks = -(-num_blocks // chunk_blocks)
+    nb_pad = n_chunks * chunk_blocks
+
+    def pad_blocks(x):
+        pad = [(0, nb_pad - num_blocks)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)
+
+    def chunk_fn(_, args):
+        c_b, s_b = _block_blend(*args, feats, cfg)
+        return None, (c_b, s_b)
+
+    chunked = jax.tree_util.tree_map(
+        lambda x: pad_blocks(x).reshape((n_chunks, chunk_blocks) + x.shape[1:]),
+        (mu, b_conic, b_opacity, b_color, pair_valid),
+    )
+    _, (c_b, s_b) = jax.lax.scan(jax.checkpoint(chunk_fn), None, chunked)
+    c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks]
+    s_b = s_b.reshape(nb_pad, p2)[:num_blocks]
+
+    # ---- compose blocks within each tile: segmented exclusive prefix of S ----
+    seg = pair_blocks.block_tile  # [NB], == num_tiles_total for padding blocks
+    cum_excl = jnp.cumsum(s_b, axis=0) - s_b  # [NB, P2]
+    # first block index of each tile's run
+    first_block = jax.ops.segment_min(
+        jnp.arange(num_blocks, dtype=jnp.int32),
+        seg,
+        num_segments=num_tiles_total + 1,
+    )
+    first_block = jnp.clip(first_block, 0, num_blocks - 1)
+    base = cum_excl[first_block[jnp.minimum(seg, num_tiles_total)]]  # [NB, P2]
+    t_in = jnp.exp(cum_excl - base)
+
+    contrib = t_in[..., None] * c_b  # [NB, P2, 3]
+    tile_color = jax.ops.segment_sum(contrib, seg, num_segments=num_tiles_total + 1)
+    tile_log_t = jax.ops.segment_sum(s_b, seg, num_segments=num_tiles_total + 1)
+    tile_color = tile_color[:num_tiles_total]
+    tile_log_t = tile_log_t[:num_tiles_total]
+
+    bg = 1.0 if cfg.white_background else 0.0
+    tile_img = tile_color + jnp.exp(tile_log_t)[..., None] * bg  # [T, P2, 3]
+
+    # ---- tiles -> image ----
+    img = tile_img.reshape(tiles_y, tiles_x, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, 3)
+    img = img[:height, :width]
+
+    return img, RenderAux(num_pairs=pair_blocks.num_pairs, overflow=pair_blocks.overflow)

@@ -3,8 +3,9 @@ logic is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax is imported anywhere.  Hard override: the session
+# environment may preset JAX_PLATFORMS to a TPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

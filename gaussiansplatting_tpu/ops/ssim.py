@@ -1,0 +1,91 @@
+"""Differentiable SSIM / D-SSIM via separable depthwise convolution.
+
+Matches the reference's per-pixel SSIM kernel (shaders.metal:380-483):
+11x11 window, sigma=1.5 Gaussian weights computed from exp(-d^2/2s^2) and
+normalized over the full window, grayscale = mean(RGB), replicate boundary
+sampling, C1=0.01^2, C2=0.03^2, D-SSIM = clamp((1-SSIM)/2, 0, 1).
+
+The reference evaluates this two-pass per pixel; here it is three separable
+Gaussian blurs (x, x^2, xy), which is algebraically identical:
+sigma_x^2 = E[x^2] - E[x]^2 under the same normalized window.
+
+Unlike the reference — which computes D-SSIM for the *scalar* loss only and
+never differentiates it (tiled_shaders.metal:417-423) — this implementation is
+fully differentiable, so the combined loss can drive training.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def _gauss_kernel_1d_np(window: int, sigma: float):
+    # cached as numpy: a cached jnp array would leak tracers across jit traces
+    import numpy as np
+
+    r = window // 2
+    d = np.arange(-r, r + 1, dtype=np.float64)
+    w = np.exp(-(d * d) / (2.0 * sigma * sigma))
+    # The reference normalizes by the sum of the full 2D window
+    # (shaders.metal:430-436); a separable 1D kernel normalized to 1 in each
+    # pass gives the identical 2D normalization.
+    return (w / w.sum()).astype(np.float32)
+
+
+def _gauss_kernel_1d(window: int, sigma: float):
+    return jnp.asarray(_gauss_kernel_1d_np(window, sigma))
+
+
+def _blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of a [H, W] image with replicate padding."""
+    k = _gauss_kernel_1d(window, sigma)
+    r = window // 2
+    x = jnp.pad(img, ((r, r), (r, r)), mode="edge")
+    # rows: [H+2r, W+2r] -> [H+2r, W]
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        k[None, None, None, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jax.lax.conv_general_dilated(
+        x,
+        k[None, None, :, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[0, 0]
+
+
+def dssim_map(
+    rendered: jnp.ndarray,
+    ground_truth: jnp.ndarray,
+    window: int = 11,
+    sigma: float = 1.5,
+    c1: float = 0.01 ** 2,
+    c2: float = 0.03 ** 2,
+) -> jnp.ndarray:
+    """Per-pixel D-SSIM map [H, W] from [H, W, 3] images in [0, 1]."""
+    x = jnp.mean(rendered, axis=-1)      # grayscale mean-RGB (shaders.metal:443)
+    y = jnp.mean(ground_truth, axis=-1)
+
+    mu_x = _blur(x, window, sigma)
+    mu_y = _blur(y, window, sigma)
+    e_xx = _blur(x * x, window, sigma)
+    e_yy = _blur(y * y, window, sigma)
+    e_xy = _blur(x * y, window, sigma)
+
+    var_x = e_xx - mu_x * mu_x
+    var_y = e_yy - mu_y * mu_y
+    cov_xy = e_xy - mu_x * mu_y
+
+    num = (2.0 * mu_x * mu_y + c1) * (2.0 * cov_xy + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (var_x + var_y + c2)
+    ssim = num / den
+    return jnp.clip((1.0 - ssim) / 2.0, 0.0, 1.0)

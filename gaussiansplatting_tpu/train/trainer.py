@@ -1,0 +1,187 @@
+"""Training loop: one fully jitted, device-resident train step plus the Python
+orchestration of the densify / opacity-reset schedule.
+
+The reference's per-image trainStep issues >=6 separate GPU command buffers
+with a CPU sync after each (mtl_engine.mm:856-1025, SURVEY.md §3.2: forward,
+loss, backward, accumulate, Adam, plus CPU sorting in between).  Here the
+whole thing — render, loss, gradient, Adam, density accumulation — is ONE
+jitted function with zero host syncs; densification and opacity resets are
+separate jitted events triggered on the reference's schedule
+(mtl_engine.mm:1047-1221).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplatting_tpu.config import Config
+from gaussiansplatting_tpu.core.camera import Camera
+from gaussiansplatting_tpu.density import control as density
+from gaussiansplatting_tpu.ops.losses import photometric_loss, psnr
+from gaussiansplatting_tpu.ops.rasterize import render
+from gaussiansplatting_tpu.train import optimizer, schedule
+from gaussiansplatting_tpu.train.state import TrainState
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray        # combined (1-l)L1 + l*DSSIM per-pixel mean
+    l1: jnp.ndarray
+    dssim: jnp.ndarray
+    psnr: jnp.ndarray
+    num_pairs: jnp.ndarray
+    overflow: jnp.ndarray
+    position_lr: jnp.ndarray
+    num_gaussians: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "total_iters"))
+def train_step(
+    state: TrainState,
+    camera: Camera,
+    gt_image: jnp.ndarray,
+    cfg: Config,
+    total_iters: int,
+) -> tuple[TrainState, StepMetrics]:
+    """One optimization step on one view (reference: trainStep,
+    mtl_engine.mm:856-1025)."""
+    params = state.params
+    capacity = params.capacity
+
+    def loss_fn(trainable, vs_dummy):
+        p = params.replace(**trainable)
+        img, aux = render(p, camera, cfg.raster, vs_dummy=vs_dummy)
+        rep = photometric_loss(img, gt_image, cfg.loss)
+        return rep.grad_loss, (rep, aux, img)
+
+    trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
+    vs_zero = jnp.zeros((capacity, 2), jnp.float32)
+    (_, (rep, aux, img)), (grads, vs_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(trainable, vs_zero)
+
+    # LR uses the pre-increment iteration count (mtl_engine.mm:1092-1094)
+    lrs = schedule.learning_rates(cfg.optim, state.opt.t, total_iters)
+    new_params, new_opt = optimizer.step(params, grads, state.opt, lrs, cfg.optim)
+
+    # density statistics (reference: DensityController::accumulateGradients
+    # after every backward, mtl_engine.mm:1000-1002)
+    new_accum = density.accumulate(state.accum, vs_grad, grads["means"], cfg.density)
+
+    metrics = StepMetrics(
+        loss=rep.combined_mean,
+        l1=rep.l1_mean,
+        dssim=rep.dssim_mean,
+        psnr=psnr(img, gt_image),
+        num_pairs=aux.num_pairs,
+        overflow=aux.overflow,
+        position_lr=lrs.position,
+        num_gaussians=new_params.count(),
+    )
+    new_state = state.replace(params=new_params, opt=new_opt, accum=new_accum)
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def densify_step(
+    state: TrainState,
+    scene_extent: float,
+    focal: jnp.ndarray,
+    cfg: Config,
+) -> tuple[TrainState, density.DensityStats]:
+    """One density-control event (mtl_engine.mm:1105-1168)."""
+    key, sub = jax.random.split(state.key)
+    avg_depth = 2.0 * scene_extent  # conservative (mtl_engine.mm:1128)
+    params, opt, accum, stats = density.apply(
+        state.params,
+        state.opt,
+        state.accum,
+        state.opt.t,
+        sub,
+        scene_extent,
+        focal,
+        avg_depth,
+        cfg.density,
+    )
+    return state.replace(params=params, opt=opt, accum=accum, key=key), stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def opacity_reset_step(state: TrainState, cfg: Config) -> TrainState:
+    """Clamp raw opacities to min(op, reset_value), zero opacity+scale
+    momentum, reset density accumulators (mtl_engine.mm:1170-1193)."""
+    params = state.params
+    new_op = jnp.where(
+        params.alive,
+        jnp.minimum(params.raw_opacities, cfg.density.opacity_reset_value),
+        params.raw_opacities,
+    )
+    return state.replace(
+        params=params.replace(raw_opacities=new_op),
+        opt=optimizer.reset_opacity_and_scale_momentum(state.opt),
+        accum=density.init_accum(params.capacity),
+    )
+
+
+def should_densify(iteration: int, cfg: Config) -> bool:
+    """iteration > from AND < until AND % interval == 0 (mtl_engine.mm:1112-1115)."""
+    d = cfg.density
+    return (
+        iteration > d.densify_from_iter
+        and iteration < d.densify_until_iter
+        and iteration % d.densify_interval == 0
+    )
+
+
+def should_reset_opacity(iteration: int, cfg: Config) -> bool:
+    """% 3000 == 0, > 0, < densify_until (mtl_engine.mm:1173-1176)."""
+    d = cfg.density
+    return (
+        iteration > 0
+        and iteration % d.opacity_reset_interval == 0
+        and iteration < d.densify_until_iter
+    )
+
+
+def train_loop(
+    state: TrainState,
+    cameras: list[Camera],
+    gt_images: list[jnp.ndarray],
+    cfg: Config,
+    scene_extent: float,
+    num_epochs: int | None = None,
+    log_fn=None,
+) -> TrainState:
+    """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221)."""
+    epochs = num_epochs if num_epochs is not None else cfg.train.epochs
+    total_iters = epochs * len(cameras)
+    iteration = int(state.opt.t)
+
+    for epoch in range(epochs):
+        for idx, (cam, gt) in enumerate(zip(cameras, gt_images)):
+            state, metrics = train_step(state, cam, gt, cfg, total_iters)
+            iteration += 1
+
+            if should_densify(iteration, cfg):
+                state, stats = densify_step(state, scene_extent, cam.fx, cfg)
+                if log_fn:
+                    log_fn(
+                        f"iter {iteration}: densify pruned={int(stats.pruned)} "
+                        f"cloned={int(stats.cloned)} split={int(stats.split)} "
+                        f"total={int(stats.count)}"
+                    )
+            if should_reset_opacity(iteration, cfg):
+                state = opacity_reset_step(state, cfg)
+                if log_fn:
+                    log_fn(f"iter {iteration}: opacity reset")
+
+            if log_fn and idx % cfg.train.log_interval == 0:
+                log_fn(
+                    f"epoch {epoch} [{idx}/{len(cameras)}] "
+                    f"loss={float(metrics.loss):.4f} psnr={float(metrics.psnr):.2f} "
+                    f"n={int(metrics.num_gaussians)} pairs={int(metrics.num_pairs)}"
+                )
+    return state

@@ -1,0 +1,106 @@
+"""End-to-end single-chip training smoke test (BASELINE config #3 analog):
+render a fixed synthetic 'ground truth' scene, start from perturbed parameters,
+and verify the loss decreases and PSNR improves over a handful of steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussiansplatting_tpu.config import (
+    Config, DensityConfig, LossConfig, OptimConfig, RasterConfig, TrainConfig,
+)
+from gaussiansplatting_tpu.core import gaussians as G
+from gaussiansplatting_tpu.train import state as train_state
+from gaussiansplatting_tpu.train import trainer
+
+from conftest import make_camera_for_scene, make_scene
+
+
+def _cfg():
+    return Config(
+        raster=RasterConfig(pair_capacity=2048, pair_block=16),
+        optim=OptimConfig(
+            position_lr_init=2e-3, position_lr_final=2e-4,
+            scale_lr=5e-3, rotation_lr=1e-3, opacity_lr=0.05, sh_lr=0.01,
+        ),
+        loss=LossConfig(),
+        density=DensityConfig(),
+        train=TrainConfig(),
+    )
+
+
+def _scene_params(rng, n=32, perturb=0.0, capacity=None):
+    means, log_scales, quats, raw_op, sh_dc = make_scene(rng, n=n, spread=0.6)
+    if perturb:
+        r2 = np.random.default_rng(7)
+        sh_dc = sh_dc + r2.normal(0, perturb, sh_dc.shape).astype(np.float32)
+        raw_op = raw_op + r2.normal(0, perturb, raw_op.shape).astype(np.float32)
+        means = means + r2.normal(0, perturb * 0.05, means.shape).astype(np.float32)
+    sh = np.zeros((n, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    return G.from_arrays(means, log_scales, quats, raw_op, sh, capacity=capacity)
+
+
+def test_training_reduces_loss(rng):
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=48, height=32)
+    gt_params = _scene_params(rng, perturb=0.0)
+    gt_img, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+    gt_img = jax.lax.stop_gradient(gt_img)
+
+    st = train_state.create(_scene_params(rng, perturb=0.8))
+    losses, psnrs = [], []
+    for _ in range(30):
+        st, metrics = trainer.train_step(st, cam, gt_img, cfg, total_iters=1000)
+        losses.append(float(metrics.loss))
+        psnrs.append(float(metrics.psnr))
+
+    assert int(st.opt.t) == 30
+    assert losses[-1] < losses[0] * 0.7, f"loss did not decrease: {losses[:3]} -> {losses[-3:]}"
+    assert psnrs[-1] > psnrs[0] + 1.0, f"psnr did not improve: {psnrs[0]} -> {psnrs[-1]}"
+    assert not bool(metrics.overflow)
+
+
+def test_train_loop_with_densify_and_reset(rng):
+    """Exercise the full schedule machinery on a tiny run (intervals shrunk)."""
+    cfg = _cfg().replace(
+        density=DensityConfig(
+            densify_from_iter=2, densify_until_iter=100, densify_interval=5,
+            opacity_reset_interval=12, grad_threshold=1e-9,  # force activity
+        ),
+    )
+    cam = make_camera_for_scene(width=32, height=32)
+    gt_params = _scene_params(rng, n=16)
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    gt_img, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(_scene_params(rng, n=16, perturb=0.5, capacity=64))
+    logs = []
+    st = trainer.train_loop(
+        st, [cam], [gt_img], cfg, scene_extent=5.0, num_epochs=15,
+        log_fn=logs.append,
+    )
+    assert int(st.opt.t) == 15
+    assert any("densify" in l for l in logs), logs
+    assert any("opacity reset" in l for l in logs), logs
+    # population stays within capacity and alive mask is a prefix
+    alive = np.asarray(st.params.alive)
+    n = alive.sum()
+    assert alive[:n].all() and not alive[n:].any()
+    # opacity reset clamped raw opacities of live gaussians
+    assert float(st.params.raw_opacities[alive].max()) <= 8.0
+
+
+def test_schedule_predicates():
+    cfg = Config()
+    assert not trainer.should_densify(500, cfg)    # strict >
+    assert trainer.should_densify(600, cfg)
+    assert not trainer.should_densify(650, cfg)    # interval
+    assert not trainer.should_densify(15000, cfg)  # strict <
+    assert trainer.should_reset_opacity(3000, cfg)
+    assert not trainer.should_reset_opacity(0, cfg)
+    assert not trainer.should_reset_opacity(15000, cfg)
+    assert not trainer.should_reset_opacity(3001, cfg)

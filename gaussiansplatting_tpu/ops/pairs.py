@@ -57,14 +57,27 @@ def build_pairs(
     tiles_y: int,
     pair_capacity: int,
     block: int,
+    row0=0,
 ) -> PairBlocks:
+    """``tiles_y`` is the number of tile ROWS this call rasterizes and ``row0``
+    the first (absolute) tile row — used by the tile-sharded multi-chip path
+    where each device owns a horizontal strip.  Tile ids in the output are
+    strip-local.  The per-Gaussian cull decisions (including the 256-tile cap)
+    were made against the FULL image rect in projection, matching the
+    reference; only pair emission is restricted to the strip."""
     num_tiles = tiles_x * tiles_y
     n = proj.depth.shape[0]
     p_cap = pair_capacity
     a_cap = aligned_capacity(p_cap, num_tiles, block)
     num_blocks = a_cap // block
 
-    counts = proj.n_tiles.astype(jnp.int32)  # [N], 0 for culled
+    # intersect each Gaussian's tile rect with the strip's row range
+    row0 = jnp.asarray(row0, jnp.int32)
+    ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
+    ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
+    span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
+    span_x_full = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+    counts = jnp.where(proj.n_tiles > 0, span_x_full * span_y, 0).astype(jnp.int32)
     cum = jnp.cumsum(counts)                 # inclusive
     offsets = cum - counts                   # exclusive
     total = cum[-1] if n > 0 else jnp.int32(0)
@@ -86,11 +99,12 @@ def build_pairs(
     slot_valid = slots < total
     rank = slots - offsets[gid]
 
-    tmin = proj.tile_min[gid]          # [P, 2]
-    span_x = proj.tile_max[gid, 0] - tmin[:, 0] + 1
-    ty = tmin[:, 1] + rank // jnp.maximum(span_x, 1)
-    tx = tmin[:, 0] + rank % jnp.maximum(span_x, 1)
-    tile_id = jnp.where(slot_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    span_x = span_x_full[gid]
+    ty = ty_lo[gid] + rank // jnp.maximum(span_x, 1)
+    tx = proj.tile_min[gid, 0] + rank % jnp.maximum(span_x, 1)
+    tile_id = jnp.where(
+        slot_valid, (ty - row0) * tiles_x + tx, num_tiles
+    ).astype(jnp.int32)
     depth = jnp.where(slot_valid, proj.depth[gid], jnp.inf).astype(jnp.float32)
     gid = jnp.where(slot_valid, gid, -1)
 

@@ -134,6 +134,7 @@ def render(
     cfg: RasterConfig,
     vs_dummy: jnp.ndarray | None = None,
     chunk_blocks: int = 256,
+    tile_rows: tuple | None = None,
 ):
     """Render one view.  Returns (image [H, W, 3] float32, RenderAux).
 
@@ -141,11 +142,21 @@ def render(
     cotangent is the per-Gaussian view-space positional gradient the density
     controller accumulates (reference: gradients.viewspace_grad_*,
     tiled_shaders.metal:717-720).
+
+    tile_rows: optional (row0, n_rows) — rasterize only tile rows
+    [row0, row0+n_rows) and return a [n_rows*tile_size, W, 3] strip.  n_rows
+    must be a static int; row0 may be traced (the multi-chip path derives it
+    from the device index).  Cull/pair semantics are identical to the full
+    render restricted to the strip.
     """
     width, height = camera.width, camera.height
     ts = cfg.tile_size
     tiles_x = proj_mod.num_tiles(width, ts)
-    tiles_y = proj_mod.num_tiles(height, ts)
+    tiles_y_img = proj_mod.num_tiles(height, ts)
+    if tile_rows is None:
+        row0, tiles_y = 0, tiles_y_img
+    else:
+        row0, tiles_y = tile_rows
     num_tiles_total = tiles_x * tiles_y
     p2 = ts * ts
     block = cfg.pair_block
@@ -157,7 +168,7 @@ def render(
     color = _color_with_dead_zone(proj.color)
 
     pair_blocks = pairs_mod.build_pairs(
-        proj, tiles_x, tiles_y, cfg.pair_capacity, block
+        proj, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0
     )
     a_cap = pair_blocks.gaussian_id.shape[0]
     num_blocks = a_cap // block
@@ -168,8 +179,9 @@ def render(
     safe_gid = jnp.maximum(gid, 0)
 
     block_tile = jnp.minimum(pair_blocks.block_tile, num_tiles_total - 1)
+    row0_f = jnp.asarray(row0, jnp.float32)
     tile_cx = (block_tile % tiles_x).astype(jnp.float32) * ts + ts / 2.0
-    tile_cy = (block_tile // tiles_x).astype(jnp.float32) * ts + ts / 2.0
+    tile_cy = ((block_tile // tiles_x).astype(jnp.float32) + row0_f) * ts + ts / 2.0
     tile_center = jnp.stack([tile_cx, tile_cy], axis=-1)  # [NB, 2]
 
     mu = screen_pos[safe_gid] - tile_center[:, None, :]   # [NB, B, 2]
@@ -222,9 +234,13 @@ def render(
     bg = 1.0 if cfg.white_background else 0.0
     tile_img = tile_color + jnp.exp(tile_log_t)[..., None] * bg  # [T, P2, 3]
 
-    # ---- tiles -> image ----
+    # ---- tiles -> image (full image: crop to H x W; strip: keep padded rows
+    #      so every device's strip has identical static shape) ----
     img = tile_img.reshape(tiles_y, tiles_x, ts, ts, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, 3)
-    img = img[:height, :width]
+    if tile_rows is None:
+        img = img[:height, :width]
+    else:
+        img = img[:, :width]
 
     return img, RenderAux(num_pairs=pair_blocks.num_pairs, overflow=pair_blocks.overflow)

@@ -1,0 +1,153 @@
+"""Tile-sharded multi-chip training step (shard_map over a 1-D device mesh).
+
+Scheme (SURVEY.md §2.3 / §7.1): Gaussian parameters are REPLICATED; each
+device rasterizes a horizontal strip of tile rows (the expensive part — the
+honest analog of sequence/context parallelism for a rasterizer); strips
+all_gather into the full image so the photometric loss (including the 11x11
+D-SSIM window across strip boundaries) is computed bit-identically on every
+device; autodiff routes each device exactly its own strip's cotangent back
+through the all_gather, so per-Gaussian gradients are per-device partial sums
+that one psum over ICI completes.  The Adam update then runs replicated.
+
+Collectives used: all_gather (strip assembly, forward), psum_scatter (its
+transpose, backward — inserted by AD), psum (gradient reduction + metrics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gaussiansplatting_tpu.config import Config
+from gaussiansplatting_tpu.core.camera import Camera
+from gaussiansplatting_tpu.density import control as density
+from gaussiansplatting_tpu.ops import projection as proj_mod
+from gaussiansplatting_tpu.ops.losses import photometric_loss, psnr
+from gaussiansplatting_tpu.ops.rasterize import render
+from gaussiansplatting_tpu.parallel.mesh import TILE_AXIS
+from gaussiansplatting_tpu.train import optimizer, schedule
+from gaussiansplatting_tpu.train.state import TrainState
+from gaussiansplatting_tpu.train.trainer import StepMetrics
+
+
+def strip_rows(height: int, tile_size: int, num_devices: int) -> int:
+    """Tile rows per device (last device may cover padding rows)."""
+    tiles_y = proj_mod.num_tiles(height, tile_size)
+    return -(-tiles_y // num_devices)
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
+    """Build a jitted sharded step: (state, camera, gt [H,W,3]) ->
+    (state, StepMetrics).  Static per (H, W) via the camera's static fields."""
+    num_devices = mesh.devices.size
+
+    def step(state: TrainState, camera: Camera, gt_image: jnp.ndarray):
+        height, width = camera.height, camera.width
+        ts = cfg.raster.tile_size
+        rows_per = strip_rows(height, ts, num_devices)
+        params = state.params
+        capacity = params.capacity
+
+        def device_fn(params, camera, gt_image):
+            idx = jax.lax.axis_index(TILE_AXIS)
+            row0 = idx * rows_per
+
+            def loss_fn(trainable, vs_dummy):
+                p = params.replace(**trainable)
+                strip, aux = render(
+                    p, camera, cfg.raster, vs_dummy=vs_dummy,
+                    tile_rows=(row0, rows_per),
+                )
+                full = jax.lax.all_gather(strip, TILE_AXIS, axis=0)
+                full = full.reshape(num_devices * rows_per * ts, width, 3)
+                img = full[:height]
+                rep = photometric_loss(img, gt_image, cfg.loss)
+                # The loss is computed redundantly on every device, so the
+                # all_gather transpose (psum_scatter) sums num_devices
+                # identical image cotangents; dividing here makes the later
+                # psum of per-device parameter gradients exactly dL/dparams.
+                return rep.grad_loss / num_devices, (rep, aux, img)
+
+            trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
+            vs_zero = jnp.zeros((capacity, 2), jnp.float32)
+            (_, (rep, aux, img)), (grads, vs_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(trainable, vs_zero)
+
+            # complete the per-device partial parameter gradients over ICI
+            grads = jax.lax.psum(grads, TILE_AXIS)
+            vs_grad = jax.lax.psum(vs_grad, TILE_AXIS)
+            num_pairs = jax.lax.psum(aux.num_pairs, TILE_AXIS)
+            overflow = jax.lax.psum(aux.overflow.astype(jnp.int32), TILE_AXIS) > 0
+            return grads, vs_grad, rep, img, num_pairs, overflow
+
+        sharded = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),   # params, camera, gt all replicated
+            out_specs=(P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        grads, vs_grad, rep, img, num_pairs, overflow = sharded(
+            params, camera, gt_image
+        )
+
+        lrs = schedule.learning_rates(cfg.optim, state.opt.t, total_iters)
+        new_params, new_opt = optimizer.step(params, grads, state.opt, lrs, cfg.optim)
+        new_accum = density.accumulate(
+            state.accum, vs_grad, grads["means"], cfg.density
+        )
+        metrics = StepMetrics(
+            loss=rep.combined_mean,
+            l1=rep.l1_mean,
+            dssim=rep.dssim_mean,
+            psnr=psnr(img, gt_image),
+            num_pairs=num_pairs,
+            overflow=overflow,
+            position_lr=lrs.position,
+            num_gaussians=new_params.count(),
+        )
+        return (
+            state.replace(params=new_params, opt=new_opt, accum=new_accum),
+            metrics,
+        )
+
+    return jax.jit(step)
+
+
+class ShardedRender(NamedTuple):
+    image: jnp.ndarray
+    num_pairs: jnp.ndarray
+
+
+def make_sharded_render(mesh: Mesh, cfg: Config):
+    """Inference-only sharded renderer (tile strips + all_gather)."""
+    num_devices = mesh.devices.size
+
+    def run(params, camera: Camera) -> ShardedRender:
+        height, width = camera.height, camera.width
+        ts = cfg.raster.tile_size
+        rows_per = strip_rows(height, ts, num_devices)
+
+        def device_fn(params, camera):
+            idx = jax.lax.axis_index(TILE_AXIS)
+            strip, aux = render(
+                params, camera, cfg.raster, tile_rows=(idx * rows_per, rows_per)
+            )
+            full = jax.lax.all_gather(strip, TILE_AXIS, axis=0)
+            full = full.reshape(num_devices * rows_per * ts, width, 3)
+            return full[:height], jax.lax.psum(aux.num_pairs, TILE_AXIS)
+
+        sharded = shard_map(
+            device_fn, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+        img, pairs = sharded(params, camera)
+        return ShardedRender(image=img, num_pairs=pairs)
+
+    return jax.jit(run)

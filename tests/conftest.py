@@ -3,14 +3,20 @@ logic is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must happen before jax is imported anywhere.  Hard override: the session
-# environment may preset JAX_PLATFORMS to a TPU platform.
+# Must happen before jax initializes a backend.  Hard override both the env
+# var AND the config value: the session's sitecustomize (axon TPU plugin)
+# calls jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# which silently wins over the environment variable.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,119 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item 6):
+tile-sharded render matches single-chip, sharded gradients match single-chip
+gradients, sharded train step runs end to end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussiansplatting_tpu.config import Config, RasterConfig
+from gaussiansplatting_tpu.core import gaussians as G
+from gaussiansplatting_tpu.ops.rasterize import render
+from gaussiansplatting_tpu.parallel import mesh as mesh_mod
+from gaussiansplatting_tpu.parallel.sharded import (
+    make_sharded_render, make_sharded_train_step,
+)
+from gaussiansplatting_tpu.train import state as train_state
+from gaussiansplatting_tpu.train import trainer
+
+from conftest import make_camera_for_scene, make_scene
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the virtual multi-device mesh"
+)
+
+
+def _cfg():
+    return Config(raster=RasterConfig(pair_capacity=2048, pair_block=16))
+
+
+def _params(rng, n=48):
+    means, log_scales, quats, raw_op, sh_dc = make_scene(rng, n=n, spread=0.6)
+    sh = np.zeros((n, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    return G.from_arrays(means, log_scales, quats, raw_op, sh)
+
+
+def test_strip_render_matches_full(rng):
+    """Rendering tile-row strips and stacking them reproduces the full image
+    (single device, exercising the tile_rows path)."""
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)  # 4 tile rows
+    params = _params(rng)
+    full, _ = jax.jit(render, static_argnums=2)(params, cam, cfg.raster)
+
+    strips = []
+    for row0 in range(0, 4, 2):
+        s, _ = jax.jit(
+            lambda p, c, r: render(p, c, cfg.raster, tile_rows=(r, 2))
+        )(params, cam, jnp.int32(row0))
+        strips.append(np.asarray(s))
+    stacked = np.concatenate(strips, axis=0)[: cam.height]
+    np.testing.assert_allclose(stacked, np.asarray(full), atol=1e-5)
+
+
+def test_sharded_render_matches_single(rng):
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)
+    params = _params(rng)
+    full, _ = jax.jit(render, static_argnums=2)(params, cam, cfg.raster)
+
+    m = mesh_mod.make_mesh()
+    srender = make_sharded_render(m, cfg)
+    out = srender(params, cam)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(full), atol=1e-5)
+
+
+def test_sharded_step_matches_single_chip(rng):
+    """One sharded step == one single-chip step (same grads via psum)."""
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    start_params = _params(np.random.default_rng(99))
+    st_single = train_state.create(start_params)
+    st_shard = train_state.create(start_params)
+
+    st_single, m_single = trainer.train_step(st_single, cam, gt, cfg, 100)
+
+    m = mesh_mod.make_mesh()
+    sstep = make_sharded_train_step(m, cfg, 100)
+    st_shard, m_shard = sstep(st_shard, cam, gt)
+
+    np.testing.assert_allclose(float(m_shard.loss), float(m_single.loss), rtol=1e-5)
+    assert int(m_shard.num_pairs) == int(m_single.num_pairs)
+    np.testing.assert_allclose(
+        np.asarray(st_shard.params.means),
+        np.asarray(st_single.params.means),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_shard.params.raw_opacities),
+        np.asarray(st_single.params.raw_opacities),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_shard.accum.grad_accum),
+        np.asarray(st_single.accum.grad_accum),
+        atol=1e-4,
+    )
+
+
+def test_sharded_multi_step_training(rng):
+    """A few sharded steps reduce the loss."""
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=48)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(_params(np.random.default_rng(5)))
+    m = mesh_mod.make_mesh()
+    sstep = make_sharded_train_step(m, cfg, 1000)
+    losses = []
+    for _ in range(8):
+        st, metrics = sstep(st, cam, gt)
+        losses.append(float(metrics.loss))
+    assert losses[-1] < losses[0]

@@ -1,0 +1,80 @@
+"""Benchmark: full differentiable train step (project -> pair expand -> sort
+-> tile blend -> loss -> backward -> Adam) on one chip, synthetic scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against BASELINE_ITERS_PER_SEC, a conservative estimate of the reference
+Metal trainer's full-step rate at this scale (its per-step pipeline takes
+>=6 blocking GPU command buffers plus a CPU radix sort of ~1M pairs per
+frame, SURVEY.md §3.2 — well under 10 steps/s on Apple silicon at 100k
+Gaussians / 800x600).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 10.0
+
+
+def main() -> None:
+    small = bool(int(os.environ.get("GS_BENCH_SMALL", "0")))
+    n_gauss = 10_000 if small else 100_000
+    width, height = (256, 192) if small else (800, 608)
+    pair_cap = (1 << 17) if small else (1 << 21)
+    steps = 5 if small else 20
+
+    import jax
+
+    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.train import state as train_state
+    from gaussiansplatting_tpu.train.trainer import train_step
+    from gaussiansplatting_tpu.utils import synthetic
+
+    cfg = Config(raster=RasterConfig(pair_capacity=pair_cap, pair_block=128))
+    params = synthetic.make_scene(n=n_gauss, seed=0)
+    camera = synthetic.make_canonical_camera(width=width, height=height)
+    gt = np.asarray(
+        np.random.default_rng(1).uniform(0, 1, (height, width, 3)), np.float32
+    )
+
+    st = train_state.create(params)
+    # warmup / compile
+    st, metrics = train_step(st, camera, gt, cfg, 30_000)
+    jax.block_until_ready(st)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st, metrics = train_step(st, camera, gt, cfg, 30_000)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = steps / dt
+    mpix_per_sec = iters_per_sec * width * height / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_iters_per_sec_{n_gauss // 1000}k_{width}x{height}",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+                "detail": {
+                    "n_gaussians": n_gauss,
+                    "resolution": [width, height],
+                    "train_mpix_per_sec": round(mpix_per_sec, 2),
+                    "num_pairs": int(metrics.num_pairs),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,8 +22,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # Function-scoped: every test sees the same deterministic stream, so
+    # results don't depend on which tests ran before (FD-based gradient
+    # tolerances are scene-sensitive in fp32).
     return np.random.default_rng(1234)
 
 

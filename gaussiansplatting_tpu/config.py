@@ -14,8 +14,13 @@ import json
 from typing import Optional
 
 
+class _Replaceable:
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
 @dataclasses.dataclass(frozen=True)
-class RasterConfig:
+class RasterConfig(_Replaceable):
     """Rasterizer kernel constants (reference: tiled_shaders.metal:83-87,742-743)."""
 
     tile_size: int = 16            # TILE_SIZE (tiled_rasterizer.hpp:78)
@@ -41,7 +46,7 @@ class RasterConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class OptimConfig:
+class OptimConfig(_Replaceable):
     """Optimizer + LR schedule (reference: mtl_engine.mm:1053-1068, optimizer.mm:276-283,
     shaders.metal:536-713)."""
 
@@ -62,7 +67,7 @@ class OptimConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class DensityConfig:
+class DensityConfig(_Replaceable):
     """Densify / prune / split control (reference: density_control.mm:21-38,229-307,
     mtl_engine.mm:1053-1056)."""
 
@@ -83,7 +88,7 @@ class DensityConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class LossConfig:
+class LossConfig(_Replaceable):
     """Photometric loss (reference: shaders.metal:320-511, mtl_engine.hpp:147)."""
 
     lambda_dssim: float = 0.2
@@ -98,7 +103,7 @@ class LossConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class InitConfig:
+class InitConfig(_Replaceable):
     """Point-cloud initialization (reference: main.mm:59-187, colmap_loader.cpp:232-264)."""
 
     knn_k: int = 3
@@ -111,7 +116,7 @@ class InitConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class TrainConfig:
+class TrainConfig(_Replaceable):
     """Training loop schedule (reference: mtl_engine.mm:1047-1221, main.mm:198-199)."""
 
     epochs: int = 155

@@ -94,6 +94,114 @@ def make_camera(
     )
 
 
+def look_at_view(eye, target, up=(0.0, -1.0, 0.0)) -> tuple[np.ndarray, np.ndarray]:
+    """COLMAP-convention look-at pose: returns (R, t) with x_cam = R x + t,
+    +z forward, +y down in the image (reference viewer: Camera::getViewMatrix,
+    camera.cpp:28-40, which uses a left-handed look-at for the same effect).
+
+    ``up`` is the world up direction; the default (0,-1,0) matches COLMAP
+    scenes, whose world y axis usually points down.
+    """
+    eye = np.asarray(eye, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+
+    fwd = target - eye
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    down = -up - fwd * np.dot(-up, fwd)
+    n = np.linalg.norm(down)
+    if n < 1e-6:  # looking straight along up: pick any perpendicular
+        down = np.cross(fwd, np.array([1.0, 0.0, 0.0], np.float32))
+        down /= np.linalg.norm(down)
+    else:
+        down = down / n
+    right = np.cross(down, fwd)
+
+    R = np.stack([right, down, fwd]).astype(np.float32)
+    t = (-R @ eye).astype(np.float32)
+    return R, t
+
+
+def orbit_camera(
+    center,
+    radius: float,
+    azimuth: float,
+    elevation: float,
+    fx: float,
+    fy: float,
+    width: int,
+    height: int,
+    up=(0.0, -1.0, 0.0),
+    near: float = 0.1,
+    far: float = 1000.0,
+) -> Camera:
+    """Spherical-orbit camera around ``center`` (reference: the orbit viewer's
+    Camera with theta/phi/radius state, camera.hpp/cpp).  Azimuth/elevation in
+    radians; elevation 0 is the equator, positive toward ``up``."""
+    center = np.asarray(center, np.float32)
+    up_v = np.asarray(up, np.float32)
+    up_v = up_v / np.linalg.norm(up_v)
+    # build an orthonormal frame around up
+    a = np.array([1.0, 0.0, 0.0], np.float32)
+    if abs(np.dot(a, up_v)) > 0.9:
+        a = np.array([0.0, 0.0, 1.0], np.float32)
+    e1 = np.cross(up_v, a)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(up_v, e1)
+
+    offset = radius * (
+        np.cos(elevation) * (np.cos(azimuth) * e1 + np.sin(azimuth) * e2)
+        + np.sin(elevation) * up_v
+    )
+    eye = center + offset
+    R, t = look_at_view(eye, center, up_v)
+    quat = rotmat_to_quat_wxyz(R)
+    return make_camera(
+        quat_wxyz=quat,
+        translation=t,
+        fx=fx,
+        fy=fy,
+        cx=width / 2.0,
+        cy=height / 2.0,
+        cam_width=width,
+        cam_height=height,
+        near=near,
+        far=far,
+    )
+
+
+def rotmat_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (w, x, y, z), Shepperd's method."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([w, x, y, z], np.float32)
+    return q / np.linalg.norm(q)
+
+
 def camera_world_position(quat_wxyz, translation) -> np.ndarray:
     """Camera center C = -R^T t (colmap_loader.cpp:200-230)."""
     v = view_matrix(quat_wxyz, translation)

@@ -1,0 +1,199 @@
+"""Training CLI — the TPU equivalent of the reference driver
+(main.mm:193-492): load COLMAP, initialize Gaussians from SfM points, train,
+export PLY + per-view renders.  Adds what the reference lacks: config files,
+checkpoints/resume, JSONL metrics, and multi-chip tile sharding.
+
+Usage (reference flags kept, main.mm:204-228):
+  python -m gaussiansplatting_tpu.tools.train \
+      --colmap scene/sparse/0 --images scene/images --output out.ply \
+      [--epochs 155] [--downscale 4] [--checkpoint-dir ckpt/ --resume] \
+      [--config cfg.json] [--metrics metrics.jsonl] [--devices N] \
+      [--export-renders renders/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--colmap", required=True, help="COLMAP sparse dir (cameras/images/points3D.bin)")
+    p.add_argument("--images", required=True, help="training images dir")
+    p.add_argument("--output", default="output.ply", help="output PLY path")
+    p.add_argument("--epochs", type=int, default=None, help="override config epochs")
+    p.add_argument("--downscale", type=int, default=1, help="image downscale factor")
+    p.add_argument("--config", default=None, help="config JSON (defaults = reference constants)")
+    p.add_argument("--capacity", type=int, default=None, help="Gaussian capacity (default: grows to density cap)")
+    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-interval", type=int, default=5000, help="iters between checkpoints (0=end only)")
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --checkpoint-dir")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--devices", type=int, default=1, help="shard tiles across N devices")
+    p.add_argument("--export-renders", default=None, help="dir for final per-view renders")
+    p.add_argument("--knn-mode", choices=("reference", "exact"), default="reference")
+    return p
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def load_scene(args, cfg):
+    """COLMAP -> (cameras, gt_images, initial params, scene_extent)."""
+    from gaussiansplatting_tpu.core import camera as camera_mod
+    from gaussiansplatting_tpu.core import gaussians as gaussians_mod
+    from gaussiansplatting_tpu.io import colmap as colmap_mod
+    from gaussiansplatting_tpu.io import images as images_mod
+    from gaussiansplatting_tpu.io import init as init_mod
+
+    data = colmap_mod.load_colmap(args.colmap)
+    extent = colmap_mod.compute_scene_extent(data, cfg.init.extent_multiplier)
+
+    cameras, gts = [], []
+    for im in data.images:
+        cam_info = data.cameras[im.camera_id]
+        path = images_mod.find_image(args.images, im.name)
+        if path is None:
+            continue
+        rw = cam_info.width // args.downscale
+        rh = cam_info.height // args.downscale
+        gt = images_mod.load_image(path, target_size=(rw, rh))
+        cameras.append(
+            camera_mod.make_camera(
+                im.quat_wxyz, im.translation,
+                cam_info.fx, cam_info.fy, cam_info.cx, cam_info.cy,
+                cam_info.width, cam_info.height,
+                render_width=rw, render_height=rh,
+                near=cfg.train.near, far=cfg.train.far,
+            )
+        )
+        gts.append(gt)
+    if not cameras:
+        raise SystemExit(f"no training images found under {args.images}")
+
+    cloud = init_mod.gaussians_from_points(
+        data.points, data.point_colors, extent, cfg.init, knn_mode=args.knn_mode
+    )
+    n = cloud.means.shape[0]
+    capacity = args.capacity or min(
+        cfg.density.max_gaussians, max(_next_pow2(4 * n), 1 << 17)
+    )
+    params = gaussians_mod.from_arrays(
+        cloud.means, cloud.log_scales, cloud.quats, cloud.raw_opacities,
+        cloud.sh, capacity=capacity,
+    )
+    return cameras, gts, params, extent
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.io import images as images_mod
+    from gaussiansplatting_tpu.io import ply as ply_mod
+    from gaussiansplatting_tpu.ops.rasterize import render as raster_render
+    from gaussiansplatting_tpu.train import checkpoint as ckpt_mod
+    from gaussiansplatting_tpu.train import state as state_mod
+    from gaussiansplatting_tpu.train import trainer
+    from gaussiansplatting_tpu.utils.metrics import MetricsLogger
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = Config()
+    cfg = cfg.replace(raster=cfg.raster.replace(pair_capacity=args.pair_capacity))
+
+    log = MetricsLogger(path=args.metrics)
+    log.log("start", colmap=args.colmap, devices=args.devices)
+
+    cameras, gts, params, extent = load_scene(args, cfg)
+    log.log(
+        "scene",
+        views=len(cameras),
+        n_init=int(np.asarray(params.alive).sum()),
+        capacity=params.capacity,
+        extent=round(extent, 4),
+        resolution=[cameras[0].width, cameras[0].height],
+    )
+
+    latest = (
+        os.path.join(args.checkpoint_dir, "latest.npz") if args.checkpoint_dir else None
+    )
+    if args.resume and latest and os.path.exists(latest):
+        state, saved_cfg = ckpt_mod.load(latest)
+        if saved_cfg is not None:
+            cfg = saved_cfg
+        log.log("resume", path=latest, iteration=int(state.opt.t))
+    else:
+        state = state_mod.create(params, seed=cfg.train.seed)
+
+    gts = [jax.device_put(g) for g in gts]
+
+    def metrics_fn(iteration, metrics):
+        log.log(
+            "step",
+            iter=iteration,
+            loss=float(metrics.loss),
+            l1=float(metrics.l1),
+            dssim=float(metrics.dssim),
+            psnr=float(metrics.psnr),
+            n=int(metrics.num_gaussians),
+            pairs=int(metrics.num_pairs),
+            overflow=bool(metrics.overflow),
+            lr_pos=float(metrics.position_lr),
+        )
+
+    def checkpoint_fn(iteration, st):
+        if latest:
+            ckpt_mod.save(latest, st, cfg)
+            log.log("checkpoint", iter=iteration, path=latest)
+
+    epochs = args.epochs if args.epochs is not None else cfg.train.epochs
+    t0 = time.time()
+    state = trainer.train_loop(
+        state, cameras, gts, cfg, extent,
+        num_epochs=epochs,
+        log_fn=lambda msg: log.log("info", msg=msg),
+        metrics_fn=metrics_fn,
+        checkpoint_fn=checkpoint_fn if args.checkpoint_dir else None,
+        checkpoint_interval=args.checkpoint_interval,
+        mesh_devices=args.devices,
+    )
+    log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
+
+    if args.checkpoint_dir:
+        checkpoint_fn(int(state.opt.t), state)
+
+    # export PLY (reference: PLYExporter::exportPLY, main.mm:408-418)
+    count = int(np.asarray(state.params.alive).sum())
+    cloud = ply_mod.cloud_from_params(state.params)
+    n_written = ply_mod.export_gaussian_ply(args.output, cloud)
+    log.log("export_ply", path=args.output, n=n_written, alive=count)
+
+    # export per-view renders (reference: exportTrainingViews)
+    if args.export_renders:
+        os.makedirs(args.export_renders, exist_ok=True)
+        render_fn = jax.jit(raster_render, static_argnums=2)
+        for i, cam in enumerate(cameras):
+            img, _ = render_fn(state.params, cam, cfg.raster)
+            images_mod.save_png(
+                os.path.join(args.export_renders, f"view_{i:04d}.png"), np.asarray(img)
+            )
+        log.log("export_renders", dir=args.export_renders, views=len(cameras))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

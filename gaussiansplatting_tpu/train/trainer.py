@@ -154,16 +154,40 @@ def train_loop(
     scene_extent: float,
     num_epochs: int | None = None,
     log_fn=None,
+    metrics_fn=None,
+    checkpoint_fn=None,
+    checkpoint_interval: int = 0,
+    mesh_devices: int = 1,
 ) -> TrainState:
-    """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221)."""
+    """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
+
+    metrics_fn(iteration, StepMetrics) fires every step; checkpoint_fn
+    (iteration, state) every ``checkpoint_interval`` iters; ``mesh_devices``
+    > 1 shards tile rows across devices (parallel/sharded.py).
+    """
     epochs = num_epochs if num_epochs is not None else cfg.train.epochs
     total_iters = epochs * len(cameras)
     iteration = int(state.opt.t)
 
+    if mesh_devices > 1:
+        from gaussiansplatting_tpu.parallel import mesh as mesh_mod
+        from gaussiansplatting_tpu.parallel.sharded import make_sharded_train_step
+
+        sharded_step = make_sharded_train_step(
+            mesh_mod.make_mesh(mesh_devices), cfg, total_iters
+        )
+        step_fn = lambda st, cam, gt: sharded_step(st, cam, gt)  # noqa: E731
+    else:
+        step_fn = lambda st, cam, gt: train_step(st, cam, gt, cfg, total_iters)  # noqa: E731
+
     for epoch in range(epochs):
         for idx, (cam, gt) in enumerate(zip(cameras, gt_images)):
-            state, metrics = train_step(state, cam, gt, cfg, total_iters)
+            state, metrics = step_fn(state, cam, gt)
             iteration += 1
+            if metrics_fn:
+                metrics_fn(iteration, metrics)
+            if checkpoint_fn and checkpoint_interval and iteration % checkpoint_interval == 0:
+                checkpoint_fn(iteration, state)
 
             if should_densify(iteration, cfg):
                 state, stats = densify_step(state, scene_extent, cam.fx, cfg)

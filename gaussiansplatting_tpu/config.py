@@ -43,6 +43,9 @@ class RasterConfig(_Replaceable):
     # TPU-design knobs (no reference equivalent)
     pair_block: int = 128          # pairs per render block (MXU K dimension granularity)
     pair_capacity: int = 1 << 20   # MAX padded (tile,depth) pairs per device per frame
+    # SH evaluation degree: 0 = reference parity (evalSH uses DC only,
+    # shaders.metal:58-61); 1 = view-dependent band-1 color, trainable.
+    sh_degree: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,3 +161,26 @@ def sh_dc_to_rgb(sh_dc: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_sh_dc(rgb: jnp.ndarray) -> jnp.ndarray:
     """Inverse of sh_dc_to_rgb for initialization (main.mm:158-161)."""
     return (rgb - 0.5) / SH_C0
+
+
+SH_C1 = 0.4886025119029199
+
+
+def sh_eval(sh: jnp.ndarray, dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Evaluate SH color up to ``degree`` (0 or 1) along view directions.
+
+    sh: [N, 4, 3] (coeff, channel), coeff 0 = DC, coeffs 1..3 = degree-1
+    (the ordering the 3DGS PLY schema stores as f_rest, ply_loader.hpp:14-20).
+    dirs: [N, 3] unit view directions (gaussian - camera).
+
+    degree 0 reproduces the reference exactly — its evalSH ignores the
+    direction and uses only the DC term (shaders.metal:58-61), even though the
+    PLY loader reads the degree-1 coefficients.  degree 1 is the standard
+    3DGS band-1 basis (-y, +z, -x), an extension the reference never wired up;
+    unlike the reference, gradients flow to all coefficients via autodiff.
+    """
+    rgb = SH_C0 * sh[..., 0, :] + 0.5
+    if degree >= 1:
+        x, y, z = dirs[..., 0:1], dirs[..., 1:2], dirs[..., 2:3]
+        rgb = rgb + SH_C1 * (-y * sh[..., 1, :] + z * sh[..., 2, :] - x * sh[..., 3, :])
+    return jnp.clip(rgb, 0.0, 1.0)

@@ -124,7 +124,13 @@ def project(
     # produce no pairs at all.
     emit = ok & (opacity >= cfg.pair_min_opacity)
 
-    color = T.sh_dc_to_rgb(params.sh[:, 0, :])
+    if cfg.sh_degree >= 1:
+        rel = means - camera.cam_pos[None, :]
+        norm = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+        dirs = rel / jnp.maximum(norm, 1e-8)
+        color = T.sh_eval(params.sh, dirs, cfg.sh_degree)
+    else:
+        color = T.sh_dc_to_rgb(params.sh[:, 0, :])
 
     zero_i = jnp.zeros_like(tmin_x)
     return Projected(

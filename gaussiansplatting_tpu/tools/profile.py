@@ -1,0 +1,110 @@
+"""Stage-timing CLI: prints per-stage ms for the full train step on a
+synthetic scene (the TPU analog of the reference's per-stage printout,
+tiled_rasterizer.mm:639-671).
+
+  python -m gaussiansplatting_tpu.tools.profile [--n 100000] [--width 800]
+      [--height 608] [--pair-capacity 2097152]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=608)
+    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--pair-block", type=int, default=128)
+    p.add_argument(
+        "--stages",
+        default="project,project_pairs,forward,forward_loss,forward_backward,train_step",
+        help="comma-separated subset (each stage costs one ~minutes-long compile)",
+    )
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.ops import pairs as pairs_mod
+    from gaussiansplatting_tpu.ops import projection as proj_mod
+    from gaussiansplatting_tpu.ops.losses import photometric_loss
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from gaussiansplatting_tpu.train import state as state_mod
+    from gaussiansplatting_tpu.train.trainer import train_step
+    from gaussiansplatting_tpu.utils import synthetic
+    from gaussiansplatting_tpu.utils.profiling import loop_time_ms
+
+    cfg = Config(
+        raster=RasterConfig(
+            pair_capacity=args.pair_capacity, pair_block=args.pair_block
+        )
+    )
+    rc = cfg.raster
+    params = synthetic.make_scene(n=args.n, seed=0)
+    cam = synthetic.make_canonical_camera(args.width, args.height)
+    gt = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (args.height, args.width, 3)),
+        jnp.float32,
+    )
+    tiles_x = proj_mod.num_tiles(args.width, rc.tile_size)
+    tiles_y = proj_mod.num_tiles(args.height, rc.tile_size)
+
+    # Every staged fn maps means->means so it can loop; the stage output is
+    # folded back into the carry to keep the whole loop body live.
+    def fold(x):
+        return jnp.sum(x).astype(jnp.float32) * 1e-20
+
+    def st_project(means):
+        pr = proj_mod.project(params.replace(means=means), cam, rc)
+        return means + fold(pr.screen_pos)
+
+    def st_pairs(means):
+        pr = proj_mod.project(params.replace(means=means), cam, rc)
+        pb = pairs_mod.build_pairs(pr, tiles_x, tiles_y, rc.pair_capacity, rc.pair_block)
+        return means + fold(pb.gaussian_id.astype(jnp.float32))
+
+    def st_render(means):
+        img, _ = render(params.replace(means=means), cam, rc)
+        return means + fold(img)
+
+    def st_loss(means):
+        img, _ = render(params.replace(means=means), cam, rc)
+        return means + fold(photometric_loss(img, gt, cfg.loss).grad_loss)
+
+    def st_grad(means):
+        def loss(m):
+            img, _ = render(params.replace(means=m), cam, rc)
+            return photometric_loss(img, gt, cfg.loss).grad_loss
+
+        return means + jax.grad(loss)(means) * 1e-20
+
+    def st_step(state):
+        new_state, _ = train_step(state, cam, gt, cfg, 30_000)
+        return new_state
+
+    stage_fns = {
+        "project": (st_project, params.means, 12),
+        "project_pairs": (st_pairs, params.means, 12),
+        "forward": (st_render, params.means, 8),
+        "forward_loss": (st_loss, params.means, 8),
+        "forward_backward": (st_grad, params.means, 6),
+        "train_step": (st_step, state_mod.create(params), 6),
+    }
+    results = {}
+    for name in args.stages.split(","):
+        fn, arg0, k_large = stage_fns[name]
+        results[name] = loop_time_ms(fn, (arg0,), k_large=k_large, repeats=2)
+        print(json.dumps({"stage": name, "ms": round(results[name], 2)}), flush=True)
+    print(json.dumps({"stages_ms": {k: round(v, 2) for k, v in results.items()},
+                      "device": str(jax.devices()[0])}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

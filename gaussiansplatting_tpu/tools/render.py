@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--radius-scale", type=float, default=1.0)
     p.add_argument("--format", choices=("png", "ppm"), default="png")
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--sh-degree", type=int, default=0, choices=(0, 1),
+                   help="0 = reference parity (DC only); 1 = view-dependent color")
     return p
 
 
@@ -50,7 +52,11 @@ def main(argv=None) -> int:
     from gaussiansplatting_tpu.ops.rasterize import render as raster_render
     from gaussiansplatting_tpu.utils.metrics import MetricsLogger
 
-    cfg = Config(raster=RasterConfig(pair_capacity=args.pair_capacity))
+    cfg = Config(
+        raster=RasterConfig(
+            pair_capacity=args.pair_capacity, sh_degree=args.sh_degree
+        )
+    )
     log = MetricsLogger()
 
     cloud = ply_mod.load_gaussian_ply(args.ply)

@@ -22,9 +22,15 @@ def make_scene(
     spread: float = 1.0,
     z_center: float = 4.0,
     capacity: int | None = None,
+    log_scale_range: tuple = (-4.6, -3.0),
 ) -> GaussianParams:
     """Random Gaussians in a box in front of the canonical camera (identity
-    pose looking down +z, the COLMAP convention)."""
+    pose looking down +z, the COLMAP convention).
+
+    The default log-scale range gives ~2-8 covered tiles per Gaussian at the
+    canonical camera — the same pairs-per-Gaussian regime as a converged real
+    scene — so benchmarks measure a representative workload.
+    """
     rng = np.random.default_rng(seed)
     means = np.concatenate(
         [
@@ -33,7 +39,7 @@ def make_scene(
         ],
         axis=1,
     ).astype(np.float32)
-    log_scales = rng.uniform(-3.4, -1.8, (n, 3)).astype(np.float32)
+    log_scales = rng.uniform(*log_scale_range, (n, 3)).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     raw_op = rng.uniform(-1.0, 3.0, (n,)).astype(np.float32)

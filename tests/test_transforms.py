@@ -84,3 +84,50 @@ def test_sh_roundtrip(rng):
     rgb = rng.uniform(0.1, 0.9, (8, 3)).astype(np.float32)
     back = np.asarray(T.sh_dc_to_rgb(T.rgb_to_sh_dc(jnp.asarray(rgb))))
     np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+def test_sh_eval_degree0_matches_dc(rng):
+    sh = rng.normal(size=(8, 4, 3)).astype(np.float32)
+    dirs = rng.normal(size=(8, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    d0 = np.asarray(T.sh_eval(jnp.asarray(sh), jnp.asarray(dirs), 0))
+    dc = np.asarray(T.sh_dc_to_rgb(jnp.asarray(sh[:, 0, :])))
+    np.testing.assert_allclose(d0, dc, atol=1e-7)
+
+
+def test_sh_eval_degree1_view_dependent(rng):
+    sh = np.zeros((1, 4, 3), np.float32)
+    sh[0, 0] = 0.0          # DC -> 0.5 gray
+    sh[0, 3, 0] = 1.0       # band-1 x coefficient, red channel
+    plus_x = np.asarray(T.sh_eval(jnp.asarray(sh), jnp.asarray([[1.0, 0, 0]]), 1))
+    minus_x = np.asarray(T.sh_eval(jnp.asarray(sh), jnp.asarray([[-1.0, 0, 0]]), 1))
+    # basis term is -SH_C1 * x * sh3
+    np.testing.assert_allclose(plus_x[0, 0], np.clip(0.5 - T.SH_C1, 0, 1), atol=1e-6)
+    np.testing.assert_allclose(minus_x[0, 0], np.clip(0.5 + T.SH_C1, 0, 1), atol=1e-6)
+    # green/blue unaffected
+    np.testing.assert_allclose(plus_x[0, 1:], 0.5, atol=1e-7)
+
+
+def test_sh_degree1_render_gradient_reaches_band1(rng):
+    """With sh_degree=1 the render gradient flows to the band-1 coefficients
+    (impossible in the reference: its backward only writes DC,
+    tiled_shaders.metal:505-513)."""
+    import jax
+    from gaussiansplatting_tpu.config import RasterConfig
+    from gaussiansplatting_tpu.core import gaussians as G
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from conftest import make_camera_for_scene, make_scene
+
+    means, log_scales, quats, raw_op, sh_dc = make_scene(rng, n=24, spread=0.6)
+    sh = np.zeros((24, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    params = G.from_arrays(means, log_scales, quats, raw_op, sh)
+    cam = make_camera_for_scene(width=48, height=48)
+    cfg = RasterConfig(pair_capacity=1024, pair_block=16, sh_degree=1)
+
+    def loss(sh):
+        img, _ = render(params.replace(sh=sh), cam, cfg)
+        return jnp.sum(img)
+
+    g = jax.jit(jax.grad(loss))(params.sh)
+    assert float(jnp.abs(g[:, 1:, :]).sum()) > 0

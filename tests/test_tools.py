@@ -188,6 +188,12 @@ def tiny_scene_dir(tmp_path, rng):
         cam = camera_mod.make_camera(q, [tx, 0, 0], fx, fy, w / 2, h / 2, w, h)
         img, _ = jax.jit(render, static_argnums=2)(gt_params, cam, _cfg().raster)
         images_mod.save_png(str(images / name), np.asarray(img))
+
+    from gaussiansplatting_tpu.io import ply as ply_mod
+
+    ply_mod.export_gaussian_ply(
+        str(tmp_path / "gt.ply"), ply_mod.cloud_from_params(gt_params)
+    )
     return tmp_path
 
 
@@ -265,3 +271,24 @@ def test_render_cli_orbit(tiny_scene_dir, tmp_path, rng):
     import os
     files = sorted(os.listdir(outdir))
     assert files == ["orbit_000.png", "orbit_001.png", "orbit_002.png"]
+
+
+def test_evaluate_cli(tiny_scene_dir, tmp_path):
+    from gaussiansplatting_tpu.tools import evaluate as eval_cli
+
+    ply_path = str(tiny_scene_dir / "gt.ply")
+    metrics = str(tmp_path / "eval.jsonl")
+    rc = eval_cli.main([
+        "--ply", ply_path,
+        "--colmap", str(tiny_scene_dir / "sparse"),
+        "--images", str(tiny_scene_dir / "images"),
+        "--pair-capacity", "2048",
+        "--metrics", metrics,
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    views = [l for l in lines if l["event"] == "view"]
+    assert len(views) == 2
+    # the PLY was written from the same cloud the GT images were rendered
+    # with, so reconstruction should be near-perfect
+    assert all(v["psnr"] > 30 for v in views)

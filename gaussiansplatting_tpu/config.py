@@ -46,6 +46,10 @@ class RasterConfig(_Replaceable):
     # SH evaluation degree: 0 = reference parity (evalSH uses DC only,
     # shaders.metal:58-61); 1 = view-dependent band-1 color, trainable.
     sh_degree: int = 0
+    # Block-blend implementation: "auto" = Pallas kernels on TPU, XLA
+    # elsewhere; "pallas" forces the kernels (interpret mode off-TPU);
+    # "xla" forces the checkpointed-scan fallback.
+    blend_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

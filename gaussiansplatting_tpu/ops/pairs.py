@@ -112,15 +112,35 @@ def build_pairs(
     gid = _run_ids(offsets, counts > 0, p_cap)
     gid = jnp.clip(gid, 0, n - 1)
     slot_valid = slots < total
-    rank = slots - offsets[gid]
 
-    span_x = span_x_full[gid]
-    ty = ty_lo[gid] + rank // jnp.maximum(span_x, 1)
-    tx = proj.tile_min[gid, 0] + rank % jnp.maximum(span_x, 1)
+    # One row-gather of a packed per-Gaussian table instead of five separate
+    # 1-D gathers: TPU gathers fetch >= a vector register row per index, so
+    # [N, 8] rows cost the same random-access traffic as [N] elements and the
+    # other four gathers come along for free.  Integer fields are exact in
+    # fp32 (all < 2^24).
+    table = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            span_x_full.astype(jnp.float32),
+            ty_lo.astype(jnp.float32),
+            proj.tile_min[:, 0].astype(jnp.float32),
+            proj.depth,
+        ],
+        axis=-1,
+    )  # [N, 5]
+    rows = table[gid]  # [p_cap, 5]
+    offset_g = rows[:, 0].astype(jnp.int32)
+    span_x = jnp.maximum(rows[:, 1].astype(jnp.int32), 1)
+    ty_lo_g = rows[:, 2].astype(jnp.int32)
+    tmin_x_g = rows[:, 3].astype(jnp.int32)
+    depth = jnp.where(slot_valid, rows[:, 4], jnp.inf)
+
+    rank = slots - offset_g
+    ty = ty_lo_g + rank // span_x
+    tx = tmin_x_g + rank % span_x
     tile_id = jnp.where(
         slot_valid, (ty - row0) * tiles_x + tx, num_tiles
     ).astype(jnp.int32)
-    depth = jnp.where(slot_valid, proj.depth[gid], jnp.inf).astype(jnp.float32)
     gid = jnp.where(slot_valid, gid, -1)
 
     # --- lexicographic sort by (tile, depth); invalid pairs sink to the end

@@ -70,6 +70,24 @@ def _color_with_dead_zone(raw_color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(live, c, jax.lax.stop_gradient(c))
 
 
+def _quad_coefs(mu: jnp.ndarray, conic: jnp.ndarray) -> jnp.ndarray:
+    """[..., 6] coefficients of the quadratic form -0.5 d^T conic d expanded
+    over the pixel monomials (x2, xy, y2, x, y, 1) in tile-local coords."""
+    a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
+    mx, my = mu[..., 0], mu[..., 1]
+    return jnp.stack(
+        [
+            -0.5 * a,
+            -b,
+            -0.5 * c,
+            a * mx + b * my,
+            b * mx + c * my,
+            -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
+        ],
+        axis=-1,
+    )
+
+
 def _block_blend(
     mu: jnp.ndarray,       # [blocks, B, 2] screen pos relative to tile center
     conic: jnp.ndarray,    # [blocks, B, 3]
@@ -82,18 +100,7 @@ def _block_blend(
     """Blend each block independently; returns per-block summaries
     (C_b [blocks, P2, 3], S_b [blocks, P2])."""
     a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
-    mx, my = mu[..., 0], mu[..., 1]
-    coef = jnp.stack(
-        [
-            -0.5 * a,
-            -b,
-            -0.5 * c,
-            a * mx + b * my,
-            b * mx + c * my,
-            -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
-        ],
-        axis=-1,
-    )  # [blocks, B, 6]
+    coef = _quad_coefs(mu, conic)  # [blocks, B, 6]
 
     # [blocks, P2, B] = [P2, 6] @ [blocks, 6, B]  — MXU
     power = jnp.einsum(
@@ -184,33 +191,63 @@ def render(
     tile_cy = ((block_tile // tiles_x).astype(jnp.float32) + row0_f) * ts + ts / 2.0
     tile_center = jnp.stack([tile_cx, tile_cy], axis=-1)  # [NB, 2]
 
-    mu = screen_pos[safe_gid] - tile_center[:, None, :]   # [NB, B, 2]
-    b_conic = proj.conic[safe_gid]
-    b_opacity = proj.opacity[safe_gid]
-    b_color = color[safe_gid]
+    # one row-gather of the packed per-Gaussian table (cheaper than four
+    # separate gathers, and its transpose is ONE fused scatter-add — the
+    # deterministic replacement for the reference's per-field atomics)
+    table = jnp.concatenate(
+        [screen_pos, proj.conic, proj.opacity[:, None], color], axis=-1
+    )  # [N, 9]
+    rows = table[safe_gid]                                # [NB, B, 9]
+    mu = rows[..., 0:2] - tile_center[:, None, :]
+    b_conic = rows[..., 2:5]
+    b_opacity = rows[..., 5]
+    b_color = rows[..., 6:9]
 
-    # ---- per-chunk blended summaries (checkpointed: backward re-materializes
-    #      block internals = transmittance replay) ----
+    # ---- per-block blended summaries ----
     feats = _pixel_features(ts)
-    chunk_blocks = min(chunk_blocks, num_blocks)
-    n_chunks = -(-num_blocks // chunk_blocks)
-    nb_pad = n_chunks * chunk_blocks
-
-    def pad_blocks(x):
-        pad = [(0, nb_pad - num_blocks)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad)
-
-    def chunk_fn(_, args):
-        c_b, s_b = _block_blend(*args, feats, cfg)
-        return None, (c_b, s_b)
-
-    chunked = jax.tree_util.tree_map(
-        lambda x: pad_blocks(x).reshape((n_chunks, chunk_blocks) + x.shape[1:]),
-        (mu, b_conic, b_opacity, b_color, pair_valid),
+    use_pallas = cfg.blend_impl == "pallas" or (
+        cfg.blend_impl == "auto" and jax.default_backend() == "tpu"
     )
-    _, (c_b, s_b) = jax.lax.scan(jax.checkpoint(chunk_fn), None, chunked)
-    c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks]
-    s_b = s_b.reshape(nb_pad, p2)[:num_blocks]
+    if use_pallas:
+        # Fused Pallas kernels (forward + hand-derived replay backward);
+        # see ops/pallas_blend.py.
+        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_pallas
+
+        coef = _quad_coefs(mu, b_conic)                      # [NB, B, 6]
+        coef8 = jnp.pad(coef.transpose(0, 2, 1), ((0, 0), (0, 2), (0, 0)))
+        conic_mag = jnp.sum(jnp.abs(b_conic), axis=-1)
+        op_eff = jnp.where(
+            pair_valid & (conic_mag >= 1e-4), b_opacity, 0.0
+        )                                                    # [NB, B]
+        color4 = jnp.pad(b_color.transpose(0, 2, 1), ((0, 0), (0, 1), (0, 0)))
+        out = block_blend_pallas(
+            coef8, op_eff, color4,
+            (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor),
+        )                                                    # [NB, 4, P2]
+        c_b = out[:, :3, :].transpose(0, 2, 1)
+        s_b = out[:, 3, :]
+    else:
+        # XLA fallback: chunked scan; jax.checkpoint re-materializes block
+        # internals in backward = the transmittance replay.
+        chunk_blocks = min(chunk_blocks, num_blocks)
+        n_chunks = -(-num_blocks // chunk_blocks)
+        nb_pad = n_chunks * chunk_blocks
+
+        def pad_blocks(x):
+            pad = [(0, nb_pad - num_blocks)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+
+        def chunk_fn(_, args):
+            c_b, s_b = _block_blend(*args, feats, cfg)
+            return None, (c_b, s_b)
+
+        chunked = jax.tree_util.tree_map(
+            lambda x: pad_blocks(x).reshape((n_chunks, chunk_blocks) + x.shape[1:]),
+            (mu, b_conic, b_opacity, b_color, pair_valid),
+        )
+        _, (c_b, s_b) = jax.lax.scan(jax.checkpoint(chunk_fn), None, chunked)
+        c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks]
+        s_b = s_b.reshape(nb_pad, p2)[:num_blocks]
 
     # ---- compose blocks within each tile: segmented exclusive prefix of S ----
     seg = pair_blocks.block_tile  # [NB], == num_tiles_total for padding blocks

@@ -1,0 +1,3 @@
+from gaussiansplatting_tpu.models.gaussian_model import GaussianModel
+
+__all__ = ["GaussianModel"]

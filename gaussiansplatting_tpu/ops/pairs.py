@@ -161,16 +161,6 @@ def build_pairs(
     aligned_cum = jnp.cumsum(aligned_counts)
     aligned_starts = aligned_cum - aligned_counts
 
-    # scatter sorted pairs to their aligned position
-    sorted_pos = jnp.arange(p_cap, dtype=jnp.int32)
-    pair_ok = sorted_tile < num_tiles
-    safe_tile = jnp.minimum(sorted_tile, num_tiles - 1)
-    rank_in_tile = sorted_pos - tile_starts[safe_tile]
-    dst = jnp.where(pair_ok, aligned_starts[safe_tile] + rank_in_tile, a_cap)
-    aligned_gid = jnp.full((a_cap + 1,), -1, jnp.int32)
-    aligned_gid = aligned_gid.at[dst].set(sorted_gid, mode="drop")
-    aligned_gid = aligned_gid[:a_cap]
-
     # tile id of each block (blocks never straddle tiles by construction);
     # blocks past the last occupied one get the padding id num_tiles
     block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
@@ -178,6 +168,21 @@ def build_pairs(
     block_tile = jnp.where(
         block_starts < aligned_cum[-1], jnp.clip(block_tile, 0, num_tiles - 1), num_tiles
     ).astype(jnp.int32)
+
+    # GATHER sorted pairs into their aligned position (a scatter would be
+    # ~4x slower on TPU): aligned slot j of tile t holds the pair ranked
+    # (j - aligned_starts[t]) within t's sorted run, or -1 padding.  Shaped
+    # [num_blocks, block] so every op is 2-D-tiled.
+    lane = jnp.arange(block, dtype=jnp.int32)[None, :]
+    safe_bt = jnp.minimum(block_tile, num_tiles - 1)
+    rank2d = (block_starts - aligned_starts[safe_bt])[:, None] + lane
+    src = tile_starts[safe_bt][:, None] + rank2d
+    in_run = (block_tile[:, None] < num_tiles) & (
+        rank2d < tile_counts[safe_bt][:, None]
+    )
+    aligned_gid = jnp.where(
+        in_run, sorted_gid[jnp.clip(src, 0, p_cap - 1)], -1
+    ).reshape(a_cap)
 
     return PairBlocks(
         gaussian_id=aligned_gid,

@@ -40,14 +40,15 @@ def _gauss_kernel_1d(window: int, sigma: float):
     return jnp.asarray(_gauss_kernel_1d_np(window, sigma))
 
 
-def _blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of a [H, W] image with replicate padding."""
+def _blur_many(imgs: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of K stacked [K, H, W] planes with replicate
+    padding — ONE batched conv pair instead of K separate 1-channel convs
+    (single-image convs map poorly onto the TPU conv units)."""
     k = _gauss_kernel_1d(window, sigma)
     r = window // 2
-    x = jnp.pad(img, ((r, r), (r, r)), mode="edge")
-    # rows: [H+2r, W+2r] -> [H+2r, W]
+    x = jnp.pad(imgs, ((0, 0), (r, r), (r, r)), mode="edge")
     x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
+        x[:, None, :, :],
         k[None, None, None, :],
         window_strides=(1, 1),
         padding="VALID",
@@ -60,7 +61,12 @@ def _blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return x[0, 0]
+    return x[:, 0]
+
+
+def _blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of a [H, W] image with replicate padding."""
+    return _blur_many(img[None], window, sigma)[0]
 
 
 def dssim_map(
@@ -75,11 +81,9 @@ def dssim_map(
     x = jnp.mean(rendered, axis=-1)      # grayscale mean-RGB (shaders.metal:443)
     y = jnp.mean(ground_truth, axis=-1)
 
-    mu_x = _blur(x, window, sigma)
-    mu_y = _blur(y, window, sigma)
-    e_xx = _blur(x * x, window, sigma)
-    e_yy = _blur(y * y, window, sigma)
-    e_xy = _blur(x * y, window, sigma)
+    mu_x, mu_y, e_xx, e_yy, e_xy = _blur_many(
+        jnp.stack([x, y, x * x, y * y, x * y]), window, sigma
+    )
 
     var_x = e_xx - mu_x * mu_x
     var_y = e_yy - mu_y * mu_y

@@ -58,15 +58,30 @@ def load_scene(args, cfg):
     data = colmap_mod.load_colmap(args.colmap)
     extent = colmap_mod.compute_scene_extent(data, cfg.init.extent_multiplier)
 
-    cameras, gts = [], []
+    # decode ground-truth views in parallel (the reference decodes serially
+    # on the main thread upfront, image_loader.mm:44-99)
+    from concurrent.futures import ThreadPoolExecutor
+
+    views = []
     for im in data.images:
         cam_info = data.cameras[im.camera_id]
         path = images_mod.find_image(args.images, im.name)
-        if path is None:
-            continue
+        if path is not None:
+            views.append((im, cam_info, path))
+
+    def decode(view):
+        im, cam_info, path = view
         rw = cam_info.width // args.downscale
         rh = cam_info.height // args.downscale
-        gt = images_mod.load_image(path, target_size=(rw, rh))
+        return images_mod.load_image(path, target_size=(rw, rh))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        gts = list(pool.map(decode, views))
+
+    cameras = []
+    for im, cam_info, _ in views:
+        rw = cam_info.width // args.downscale
+        rh = cam_info.height // args.downscale
         cameras.append(
             camera_mod.make_camera(
                 im.quat_wxyz, im.translation,
@@ -76,7 +91,6 @@ def load_scene(args, cfg):
                 near=cfg.train.near, far=cfg.train.far,
             )
         )
-        gts.append(gt)
     if not cameras:
         raise SystemExit(f"no training images found under {args.images}")
 

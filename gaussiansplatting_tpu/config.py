@@ -50,6 +50,12 @@ class RasterConfig(_Replaceable):
     # elsewhere; "pallas" forces the kernels (interpret mode off-TPU);
     # "xla" forces the checkpointed-scan fallback.
     blend_impl: str = "auto"
+    # Per-Gaussian gradient reduction: "scatter" = XLA gather transpose
+    # (default: measured faster on v5e, and supports forward-mode autodiff);
+    # "prefix" = scatter-free run-prefix custom VJP (deterministic order,
+    # reverse-mode only; the extra sort operand + inverse-map + [2M, 9]
+    # cumsum cost more than the duplicate-index scatter-add it removes).
+    grad_reduce: str = "scatter"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,12 +52,23 @@ class PairBlocks(NamedTuple):
     block_tile:  [num_blocks] int32 tile id per block (num_tiles = padding).
     num_pairs:   [] int32, pairs actually emitted (diagnostics / overflow).
     overflow:    [] bool, capacity was exceeded (some Gaussians dropped).
+
+    Gradient-reduction index data (ops/rasterize.gather_pair_rows): in SLOT
+    order (pre-sort emission order) each Gaussian's pairs form one contiguous
+    run, so per-Gaussian gradient sums are prefix-sum differences — no
+    duplicate-index scatter-add anywhere in the backward pass.
+    inv_amap:    [pair_capacity] int32 slot -> aligned position (cap = none).
+    run_offsets: [N] int32 first slot of each Gaussian's run.
+    run_counts:  [N] int32 pairs emitted per Gaussian (0 = culled/dropped).
     """
 
     gaussian_id: jnp.ndarray
     block_tile: jnp.ndarray
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray
+    inv_amap: jnp.ndarray
+    run_offsets: jnp.ndarray
+    run_counts: jnp.ndarray
 
 
 def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
@@ -143,9 +154,11 @@ def build_pairs(
     ).astype(jnp.int32)
     gid = jnp.where(slot_valid, gid, -1)
 
-    # --- lexicographic sort by (tile, depth); invalid pairs sink to the end
-    sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
-        (tile_id, depth, gid), num_keys=2
+    # --- lexicographic sort by (tile, depth); invalid pairs sink to the end.
+    # The slot index rides along so the aligned layout can be inverted for
+    # the scatter-free gradient reduction.
+    sorted_tile, _sorted_depth, sorted_gid, sorted_slot = jax.lax.sort(
+        (tile_id, depth, gid, slots), num_keys=2
     )
 
     # --- per-tile counts and starts in the sorted array
@@ -180,13 +193,22 @@ def build_pairs(
     in_run = (block_tile[:, None] < num_tiles) & (
         rank2d < tile_counts[safe_bt][:, None]
     )
-    aligned_gid = jnp.where(
-        in_run, sorted_gid[jnp.clip(src, 0, p_cap - 1)], -1
-    ).reshape(a_cap)
+    src_c = jnp.clip(src, 0, p_cap - 1)
+    aligned_gid = jnp.where(in_run, sorted_gid[src_c], -1).reshape(a_cap)
+
+    # slot occupying each aligned position, and its inverse (unique-index
+    # scatter: every slot lands in at most one aligned position)
+    amap_slot = jnp.where(in_run, sorted_slot[src_c], p_cap).reshape(a_cap)
+    inv_amap = jnp.full((p_cap,), a_cap, jnp.int32).at[amap_slot].set(
+        jnp.arange(a_cap, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
 
     return PairBlocks(
         gaussian_id=aligned_gid,
         block_tile=block_tile,
         num_pairs=total,
         overflow=overflow,
+        inv_amap=inv_amap,
+        run_offsets=offsets,
+        run_counts=counts,
     )

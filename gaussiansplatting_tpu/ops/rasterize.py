@@ -50,6 +50,57 @@ class RenderAux(NamedTuple):
     overflow: jnp.ndarray    # [] bool pair capacity exceeded
 
 
+def _float0(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def gather_pair_rows(table, gid, inv_amap, run_offsets, run_counts):
+    """rows[j] = table[max(gid[j], 0)] with a scatter-free transpose.
+
+    The VJP maps aligned-order cotangents back to SLOT order (where each
+    Gaussian's pairs are one contiguous run, ops/pairs.py) and reduces runs
+    by prefix-sum difference.  This replaces the duplicate-index scatter-add
+    XLA emits for a plain gather transpose — the deterministic, TPU-fast
+    stand-in for the reference's atomic gradient accumulation
+    (tiled_shaders.metal:698-736).
+    """
+    return table[jnp.maximum(gid, 0)]
+
+
+def _gpr_fwd(table, gid, inv_amap, run_offsets, run_counts):
+    return table[jnp.maximum(gid, 0)], (
+        gid, inv_amap, run_offsets, run_counts
+    )
+
+
+def _gpr_bwd(res, d_rows):
+    gid, inv_amap, run_offsets, run_counts = res
+    a_cap = gid.size
+    d = d_rows.shape[-1]
+    d_flat = d_rows.reshape(a_cap, d)
+    # padding row: inv_amap uses a_cap for slots with no aligned position
+    d_flat = jnp.concatenate([d_flat, jnp.zeros((1, d), d_flat.dtype)], axis=0)
+    d_slot = d_flat[inv_amap]                       # [p_cap, d]
+    prefix = jnp.cumsum(d_slot, axis=0)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, d), prefix.dtype), prefix], axis=0
+    )
+    d_table = prefix[run_offsets + run_counts] - prefix[run_offsets]
+    return (
+        d_table,
+        _float0(gid),
+        _float0(inv_amap),
+        _float0(run_offsets),
+        _float0(run_counts),
+    )
+
+
+gather_pair_rows.defvjp(_gpr_fwd, _gpr_bwd)
+
+
 def _pixel_features(tile_size: int) -> jnp.ndarray:
     """[tile_size^2, 6] monomials (x2, xy, y2, x, y, 1) of tile-local pixel
     centers; identical for every tile, so computed once at trace time."""
@@ -183,7 +234,6 @@ def render(
     # ---- gather per-pair data (block-major) ----
     gid = pair_blocks.gaussian_id.reshape(num_blocks, block)
     pair_valid = gid >= 0
-    safe_gid = jnp.maximum(gid, 0)
 
     block_tile = jnp.minimum(pair_blocks.block_tile, num_tiles_total - 1)
     row0_f = jnp.asarray(row0, jnp.float32)
@@ -197,7 +247,13 @@ def render(
     table = jnp.concatenate(
         [screen_pos, proj.conic, proj.opacity[:, None], color], axis=-1
     )  # [N, 9]
-    rows = table[safe_gid]                                # [NB, B, 9]
+    if cfg.grad_reduce == "prefix":
+        rows = gather_pair_rows(
+            table, gid, pair_blocks.inv_amap,
+            pair_blocks.run_offsets, pair_blocks.run_counts,
+        )                                                 # [NB, B, 9]
+    else:
+        rows = table[jnp.maximum(gid, 0)]
     mu = rows[..., 0:2] - tile_center[:, None, :]
     b_conic = rows[..., 2:5]
     b_opacity = rows[..., 5]

@@ -1,0 +1,117 @@
+"""Convergence benchmark (BASELINE.md config #3): full training loop, single
+chip, no filesystem — a synthetic multi-view scene stands in for a small
+COLMAP scene.  Ground truth comes from rendering a hidden target model; the
+trained model starts from a perturbed copy and must recover it.
+
+  python -m gaussiansplatting_tpu.tools.bench_train [--n 20000] [--views 8]
+      [--iters 400] [--width 400 --height 304]
+
+Prints one JSON line with PSNR trajectory and steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=20_000)
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--width", type=int, default=400)
+    p.add_argument("--height", type=int, default=304)
+    p.add_argument("--pair-capacity", type=int, default=1 << 19)
+    p.add_argument("--perturb", type=float, default=0.6)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplatting_tpu.config import Config, OptimConfig, RasterConfig
+    from gaussiansplatting_tpu.core import camera as camera_mod
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from gaussiansplatting_tpu.train import state as state_mod
+    from gaussiansplatting_tpu.train.trainer import train_step
+    from gaussiansplatting_tpu.utils import synthetic
+
+    cfg = Config(raster=RasterConfig(pair_capacity=args.pair_capacity))
+    gt_params = synthetic.make_scene(n=args.n, seed=0)
+
+    # ring of cameras around the synthetic box (center ~ (0, 0, 4))
+    center = np.array([0.0, 0.0, 4.0], np.float32)
+    fy = args.height * 1.1
+    cams = [
+        camera_mod.orbit_camera(
+            center, radius=4.0,
+            azimuth=2 * math.pi * i / args.views - math.pi / 2,
+            elevation=0.25 * math.sin(2.0 * i),
+            fx=fy, fy=fy, width=args.width, height=args.height,
+            up=(0.0, -1.0, 0.0),
+        )
+        for i in range(args.views)
+    ]
+    render_fn = jax.jit(render, static_argnums=2)
+    gts = [render_fn(gt_params, c, cfg.raster)[0] for c in cams]
+
+    # perturbed start: same geometry, damaged appearance + jittered positions
+    rng = np.random.default_rng(7)
+    start = gt_params.replace(
+        sh=gt_params.sh
+        + jnp.asarray(rng.normal(0, args.perturb, gt_params.sh.shape), jnp.float32),
+        raw_opacities=gt_params.raw_opacities
+        + jnp.asarray(rng.normal(0, args.perturb, (gt_params.capacity,)), jnp.float32),
+        means=gt_params.means
+        + jnp.asarray(rng.normal(0, 0.005, gt_params.means.shape), jnp.float32),
+    )
+    st = state_mod.create(start)
+
+    def mean_psnr(state):
+        vals = []
+        for c, g in zip(cams, gts):
+            img, _ = render_fn(state.params, c, cfg.raster)
+            mse = jnp.mean((img - g) ** 2)
+            vals.append(float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))))
+        return sum(vals) / len(vals)
+
+    psnr0 = mean_psnr(st)
+    # warmup / compile one step
+    st, _ = train_step(st, cams[0], gts[0], cfg, args.iters)
+    jax.block_until_ready(st)
+
+    t0 = time.perf_counter()
+    for it in range(1, args.iters):
+        v = it % args.views
+        st, metrics = train_step(st, cams[v], gts[v], cfg, args.iters)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    psnr1 = mean_psnr(st)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_convergence_synthetic",
+                "value": round(psnr1, 2),
+                "unit": "dB PSNR",
+                "detail": {
+                    "psnr_start": round(psnr0, 2),
+                    "psnr_end": round(psnr1, 2),
+                    "iters": args.iters,
+                    "views": args.views,
+                    "n_gaussians": args.n,
+                    "resolution": [args.width, args.height],
+                    "iters_per_sec": round((args.iters - 1) / dt, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

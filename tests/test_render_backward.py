@@ -109,8 +109,10 @@ def test_grad_matches_finite_differences(rng):
 
 def test_vjp_consistent_with_jvp(rng):
     """Reverse-mode (our training path) vs forward-mode on random directions —
-    independent AD code paths must agree to fp32 precision."""
+    independent AD code paths must agree to fp32 precision.  (Forward mode
+    requires the scatter gradient reduction; custom_vjp has no JVP rule.)"""
     params, cam, cfg = _setup(rng, n=16)
+    cfg = cfg.replace(grad_reduce="scatter")
     weights = jnp.ones((cam.height, cam.width, 3), jnp.float32)
 
     trainable = ("means", "log_scales", "quats", "raw_opacities", "sh")
@@ -147,6 +149,7 @@ def test_viewspace_dummy_gradient(rng):
     """The vs_dummy cotangent equals the screen-space positional gradient used
     by density control (reference: viewspace_grad, tiled_shaders.metal:717-720)."""
     params, cam, cfg = _setup(rng)
+    cfg = cfg.replace(grad_reduce="scatter")  # JVP check below needs fwd-mode
     weights = jnp.asarray(
         rng.uniform(0.5, 1.0, (cam.height, cam.width, 3)).astype(np.float32)
     )
@@ -184,3 +187,21 @@ def test_gradients_finite(rng):
     grads = jax.jit(jax.grad(_loss_fn(cam, cfg, weights), allow_int=True))(params)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_prefix_grad_reduce_matches_scatter(rng):
+    """The scatter-free run-prefix gradient reduction (custom VJP in
+    rasterize.gather_pair_rows) equals the plain XLA gather transpose."""
+    params, cam, cfg = _setup(rng, n=32)
+    weights = jnp.asarray(
+        rng.uniform(0.5, 1.0, (cam.height, cam.width, 3)).astype(np.float32)
+    )
+    grads = {}
+    for mode in ("prefix", "scatter"):
+        fn = _loss_fn(cam, cfg.replace(grad_reduce=mode), weights)
+        grads[mode] = jax.jit(jax.grad(fn, allow_int=True))(params)
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        a = np.asarray(getattr(grads["prefix"], f))
+        b = np.asarray(getattr(grads["scatter"], f))
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-4, f"{f}: rel {rel}"

@@ -95,8 +95,15 @@ def load_gaussian_ply(path: str, max_log_scale: float = 8.0) -> GaussianCloud:
     sh[:, 0, 0] = col("f_dc_0")
     sh[:, 0, 1] = col("f_dc_1")
     sh[:, 0, 2] = col("f_dc_2")
-    if "f_rest_8" in names:
+    if "f_rest_44" in names:
+        # official-3DGS degree-3 export: 45 channel-major coefficients
+        # (all 15 of R, then G, then B); keep the band-1 triple per channel
+        for c in range(1, 4):
+            for ch in range(3):
+                sh[:, c, ch] = col(f"f_rest_{ch * 15 + (c - 1)}")
+    elif "f_rest_8" in names:
         # reference interleave: f_rest_[3*(c-1) + ch] = coeff c, channel ch
+        # (ply_exporter.hpp:112-123 writes per-coefficient RGB groups)
         for c in range(1, 4):
             for ch in range(3):
                 sh[:, c, ch] = col(f"f_rest_{3 * (c - 1) + ch}")

@@ -229,3 +229,45 @@ def test_find_image(tmp_path):
     (tmp_path / "a.JPG").write_bytes(b"")
     assert images.find_image(str(tmp_path), "a.jpg").endswith("a.JPG")
     assert images.find_image(str(tmp_path), "missing.jpg") is None
+
+
+def test_ply_official_3dgs_deg3_layout(tmp_path, rng):
+    """A PLY with 45 channel-major f_rest fields (official-3DGS export layout)
+    loads the band-1 coefficients from each channel's leading entries."""
+    import struct as _struct
+
+    n = 4
+    base = ["x", "y", "z", "scale_0", "scale_1", "scale_2",
+            "rot_0", "rot_1", "rot_2", "rot_3", "opacity",
+            "f_dc_0", "f_dc_1", "f_dc_2"]
+    rest = [f"f_rest_{i}" for i in range(45)]
+    fields = base + rest
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        + "".join(f"property float {f}\n" for f in fields)
+        + "end_header\n"
+    )
+    rows = []
+    for i in range(n):
+        vals = {f: 0.0 for f in fields}
+        vals.update({"x": float(i), "y": 0.0, "z": 4.0,
+                     "scale_0": -2.0, "scale_1": -2.0, "scale_2": -2.0,
+                     "rot_0": 1.0, "opacity": 0.5,
+                     "f_dc_0": 0.1, "f_dc_1": 0.2, "f_dc_2": 0.3})
+        # channel-major band-1: R coeffs at 0..2, G at 15..17, B at 30..32
+        for ch in range(3):
+            for c in range(3):
+                vals[f"f_rest_{ch * 15 + c}"] = float(10 * ch + c + 1)
+        rows.append(_struct.pack(f"<{len(fields)}f", *[vals[f] for f in fields]))
+    path = tmp_path / "official.ply"
+    path.write_bytes(header.encode() + b"".join(rows))
+
+    from gaussiansplatting_tpu.io.ply import load_gaussian_ply
+
+    cloud = load_gaussian_ply(str(path))
+    assert cloud.sh.shape == (n, 4, 3)
+    # band coefficient c (1-indexed), channel ch -> value 10*ch + (c-1) + 1
+    for c in range(1, 4):
+        for ch in range(3):
+            np.testing.assert_allclose(cloud.sh[:, c, ch], 10 * ch + c)

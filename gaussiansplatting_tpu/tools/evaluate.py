@@ -25,6 +25,12 @@ def main(argv=None) -> int:
     p.add_argument("--sh-degree", type=int, default=0, choices=(0, 1))
     p.add_argument("--metrics", default=None, help="JSONL output path")
     args = p.parse_args(argv)
+    import os as _os
+
+    if not _os.path.exists(args.ply):
+        raise SystemExit(f"error: PLY not found: {args.ply}")
+    if not _os.path.isdir(args.colmap):
+        raise SystemExit(f"error: COLMAP dir not found: {args.colmap}")
 
     import numpy as np
     import jax

@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os as _os
+
+    if not _os.path.exists(args.ply):
+        raise SystemExit(f"error: PLY not found: {args.ply}")
+    if args.colmap and not _os.path.isdir(args.colmap):
+        raise SystemExit(f"error: COLMAP dir not found: {args.colmap}")
 
     import jax
 

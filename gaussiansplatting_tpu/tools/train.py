@@ -110,6 +110,14 @@ def load_scene(args, cfg):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os as _os
+
+    if not _os.path.isdir(args.colmap):
+        raise SystemExit(f"error: COLMAP dir not found: {args.colmap}")
+    if not _os.path.isdir(args.images):
+        raise SystemExit(f"error: images dir not found: {args.images}")
+    if args.config and not _os.path.exists(args.config):
+        raise SystemExit(f"error: config not found: {args.config}")
 
     import jax
 

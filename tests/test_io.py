@@ -271,3 +271,33 @@ def test_ply_official_3dgs_deg3_layout(tmp_path, rng):
     for c in range(1, 4):
         for ch in range(3):
             np.testing.assert_allclose(cloud.sh[:, c, ch], 10 * ch + c)
+
+
+def test_native_lib_matches_python(tmp_path, rng):
+    """The C++ points parser and grid kNN agree with the pure-Python path
+    (native/gs_io.cpp; skipped when libgsio.so is absent)."""
+    from gaussiansplatting_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library not built")
+
+    pts = []
+    coords = rng.uniform(-2, 2, (60, 3))
+    for i in range(60):
+        pts.append((i, list(map(float, coords[i])), [10, 20, 30], 0.25, 2))
+    path = str(tmp_path / "points3D.bin")
+    write_points_bin(path, pts)
+
+    from gaussiansplatting_tpu.io import colmap as colmap_mod
+
+    n_pos, n_col, n_err = native.load_points_bin(path)
+    p_pos, p_col, p_err = colmap_mod.load_points_bin(path)
+    np.testing.assert_allclose(n_pos, p_pos, atol=1e-6)
+    np.testing.assert_allclose(n_col, p_col, atol=1e-6)
+    np.testing.assert_allclose(n_err, p_err, atol=1e-6)
+
+    from gaussiansplatting_tpu.io.init import knn_mean_distances
+
+    nd = native.knn_mean_dist(np.asarray(coords, np.float32), k=3)
+    pd = knn_mean_distances(np.asarray(coords, np.float32), k=3)
+    np.testing.assert_allclose(nd, pd, rtol=1e-5)

@@ -117,3 +117,36 @@ def test_sharded_multi_step_training(rng):
         st, metrics = sstep(st, cam, gt)
         losses.append(float(metrics.loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_loop_with_densify(rng):
+    """train_loop with mesh_devices>1 runs the densify/reset schedule on the
+    sharded step (the multi-chip CLI path, tools/train.py --devices N)."""
+    from gaussiansplatting_tpu.config import DensityConfig
+
+    cfg = _cfg().replace(
+        density=DensityConfig(
+            densify_from_iter=1, densify_until_iter=50, densify_interval=3,
+            opacity_reset_interval=8, grad_threshold=1e-9,
+        ),
+    )
+    cam = make_camera_for_scene(width=64, height=48)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    means, log_scales, quats, raw_op, sh_dc = make_scene(
+        np.random.default_rng(11), n=24, spread=0.6
+    )
+    sh = np.zeros((24, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    start = G.from_arrays(means, log_scales, quats, raw_op, sh, capacity=96)
+
+    st = train_state.create(start)
+    st = trainer.train_loop(
+        st, [cam], [gt], cfg, scene_extent=1.0, num_epochs=10,
+        mesh_devices=min(4, len(jax.devices())),
+    )
+    assert int(st.opt.t) == 10
+    # densification with grad_threshold ~0 must have grown the population
+    assert int(np.asarray(st.params.alive).sum()) > 24
+    assert np.isfinite(np.asarray(st.params.means)).all()

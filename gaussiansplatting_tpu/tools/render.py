@@ -27,12 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--orbit", type=int, default=0, help="render N orbit views")
     p.add_argument("--colmap", default=None, help="render from COLMAP training cameras")
-    p.add_argument("--width", type=int, default=800)
-    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--width", type=int, default=None,
+                   help="render width (default: 800 for orbit, native camera size for --colmap)")
+    p.add_argument("--height", type=int, default=None)
     p.add_argument("--fov", type=float, default=60.0, help="vertical FoV degrees (orbit)")
     p.add_argument("--elevation", type=float, default=15.0, help="orbit elevation degrees")
     p.add_argument("--radius-scale", type=float, default=1.0)
     p.add_argument("--format", choices=("png", "ppm"), default="png")
+    p.add_argument("--gif", default=None,
+                   help="additionally write all views as an animated GIF")
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     p.add_argument("--sh-degree", type=int, default=0, choices=(0, 1),
                    help="0 = reference parity (DC only); 1 = view-dependent color")
@@ -82,6 +85,8 @@ def main(argv=None) -> int:
         data = colmap_mod.load_colmap(args.colmap)
         for im in data.images:
             cam_info = data.cameras[im.camera_id]
+            # default: native COLMAP resolution, like exportTrainingViews
+            # (mtl_engine.mm:1224-1306)
             cameras.append(
                 camera_mod.make_camera(
                     im.quat_wxyz,
@@ -92,12 +97,16 @@ def main(argv=None) -> int:
                     cam_info.cy,
                     cam_info.width,
                     cam_info.height,
-                    render_width=args.width,
-                    render_height=args.height,
+                    render_width=args.width or cam_info.width,
+                    render_height=args.height or cam_info.height,
                 )
             )
             names.append(os.path.splitext(im.name)[0])
     else:
+        if args.width is None:
+            args.width = 800
+        if args.height is None:
+            args.height = 600
         n_views = args.orbit if args.orbit > 0 else 8
         center = cloud.means.mean(axis=0)
         spread = float(np.percentile(np.linalg.norm(cloud.means - center, axis=1), 90))
@@ -119,6 +128,7 @@ def main(argv=None) -> int:
             names.append(f"orbit_{i:03d}")
 
     t0 = time.time()
+    frames = []
     for cam, name in zip(cameras, names):
         img, aux = render_fn(params, cam, cfg.raster)
         img = np.asarray(img)
@@ -127,7 +137,22 @@ def main(argv=None) -> int:
             images_mod.save_png(path, img)
         else:
             images_mod.save_ppm(path, img)
+        if args.gif:
+            frames.append(img)
         log.log("render", view=name, num_pairs=int(aux.num_pairs), path=path)
+    if args.gif and frames:
+        from PIL import Image
+
+        pil = [
+            Image.fromarray(
+                np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            )
+            for f in frames
+        ]
+        pil[0].save(
+            args.gif, save_all=True, append_images=pil[1:], duration=100, loop=0
+        )
+        log.log("gif", path=args.gif, frames=len(pil))
     dt = time.time() - t0
     log.log("done", views=len(cameras), seconds=round(dt, 2),
             views_per_sec=round(len(cameras) / max(dt, 1e-9), 3))

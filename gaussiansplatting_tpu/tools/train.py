@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1, help="shard tiles across N devices")
     p.add_argument("--export-renders", default=None, help="dir for final per-view renders")
     p.add_argument("--knn-mode", choices=("reference", "exact"), default="reference")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator host:port (jax.distributed)")
     return p
 
 
@@ -137,8 +139,11 @@ def main(argv=None) -> int:
         cfg = Config()
     cfg = cfg.replace(raster=cfg.raster.replace(pair_capacity=args.pair_capacity))
 
-    log = MetricsLogger(path=args.metrics)
-    log.log("start", colmap=args.colmap, devices=args.devices)
+    from gaussiansplatting_tpu.parallel import launch
+
+    topo = launch.initialize(coordinator=args.coordinator)
+    log = MetricsLogger(path=args.metrics, echo=launch.is_primary())
+    log.log("start", colmap=args.colmap, devices=args.devices, **topo)
 
     cameras, gts, params, extent = load_scene(args, cfg)
     log.log(
@@ -164,6 +169,9 @@ def main(argv=None) -> int:
     gts = [jax.device_put(g) for g in gts]
 
     def metrics_fn(iteration, metrics):
+        if not np.isfinite(float(metrics.loss)):
+            log.log("warning", iter=iteration,
+                    msg="non-finite loss — check LRs / pair capacity")
         log.log(
             "step",
             iter=iteration,

@@ -32,7 +32,6 @@ identical to the reference's per-pixel evaluation error profile.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,6 @@ transpose, backward — inserted by AD), psum (gradient reduction + metrics).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -32,7 +32,7 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from gaussiansplatting_tpu.config import Config, OptimConfig, RasterConfig
+    from gaussiansplatting_tpu.config import Config, RasterConfig
     from gaussiansplatting_tpu.core import camera as camera_mod
     from gaussiansplatting_tpu.ops.rasterize import render
     from gaussiansplatting_tpu.train import state as state_mod

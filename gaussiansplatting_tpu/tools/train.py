@@ -123,7 +123,7 @@ def main(argv=None) -> int:
 
     import jax
 
-    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.config import Config
     from gaussiansplatting_tpu.io import images as images_mod
     from gaussiansplatting_tpu.io import ply as ply_mod
     from gaussiansplatting_tpu.ops.rasterize import render as raster_render

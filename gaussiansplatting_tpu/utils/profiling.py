@@ -17,7 +17,6 @@ import time
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from jax.profiler import start_server, trace  # noqa: F401  (re-export)
 

@@ -101,6 +101,10 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
         new_accum = density.accumulate(
             state.accum, vs_grad, grads["means"], cfg.density
         )
+        from gaussiansplatting_tpu.train.trainer import (
+            _mean_opacity, _mean_world_scale,
+        )
+
         metrics = StepMetrics(
             loss=rep.combined_mean,
             l1=rep.l1_mean,
@@ -110,6 +114,8 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
             overflow=overflow,
             position_lr=lrs.position,
             num_gaussians=new_params.count(),
+            mean_opacity=_mean_opacity(new_params),
+            mean_world_scale=_mean_world_scale(new_params),
         )
         return (
             state.replace(params=new_params, opt=new_opt, accum=new_accum),

@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn-mode", choices=("reference", "exact"), default="reference")
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator host:port (jax.distributed)")
+    p.add_argument("--snapshot-dir", default=None,
+                   help="write render+gt PNG snapshots every config snapshot_interval iters")
     return p
 
 
@@ -183,12 +185,27 @@ def main(argv=None) -> int:
             pairs=int(metrics.num_pairs),
             overflow=bool(metrics.overflow),
             lr_pos=float(metrics.position_lr),
+            mean_op=round(float(metrics.mean_opacity), 4),
+            mean_scale=round(float(metrics.mean_world_scale), 5),
         )
 
     def checkpoint_fn(iteration, st):
         if latest:
             ckpt_mod.save(latest, st, cfg)
             log.log("checkpoint", iter=iteration, path=latest)
+
+    def snapshot_fn(iteration, st, cam, gt):
+        os.makedirs(args.snapshot_dir, exist_ok=True)
+        img, _ = jax.jit(raster_render, static_argnums=2)(st.params, cam, cfg.raster)
+        images_mod.save_png(
+            os.path.join(args.snapshot_dir, f"render_{iteration:06d}.png"),
+            np.asarray(img),
+        )
+        images_mod.save_png(
+            os.path.join(args.snapshot_dir, f"gt_{iteration:06d}.png"),
+            np.asarray(gt),
+        )
+        log.log("snapshot", iter=iteration, dir=args.snapshot_dir)
 
     epochs = args.epochs if args.epochs is not None else cfg.train.epochs
     t0 = time.time()
@@ -200,6 +217,7 @@ def main(argv=None) -> int:
         checkpoint_fn=checkpoint_fn if args.checkpoint_dir else None,
         checkpoint_interval=args.checkpoint_interval,
         mesh_devices=args.devices,
+        snapshot_fn=snapshot_fn if args.snapshot_dir else None,
     )
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 

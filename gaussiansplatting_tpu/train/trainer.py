@@ -36,6 +36,10 @@ class StepMetrics(NamedTuple):
     overflow: jnp.ndarray
     position_lr: jnp.ndarray
     num_gaussians: jnp.ndarray
+    # population statistics (reference: per-200-step opacity/scale sample
+    # dump, mtl_engine.mm:1009-1022)
+    mean_opacity: jnp.ndarray
+    mean_world_scale: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total_iters"))
@@ -80,9 +84,26 @@ def train_step(
         overflow=aux.overflow,
         position_lr=lrs.position,
         num_gaussians=new_params.count(),
+        mean_opacity=_mean_opacity(new_params),
+        mean_world_scale=_mean_world_scale(new_params),
     )
     new_state = state.replace(params=new_params, opt=new_opt, accum=new_accum)
     return new_state, metrics
+
+
+def _mean_opacity(params) -> jnp.ndarray:
+    import gaussiansplatting_tpu.core.transforms as T
+
+    alive = params.alive.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(alive), 1.0)
+    return jnp.sum(T.sigmoid(params.raw_opacities) * alive) / n
+
+
+def _mean_world_scale(params) -> jnp.ndarray:
+    alive = params.alive.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(alive), 1.0)
+    max_scale = jnp.max(jnp.exp(jnp.clip(params.log_scales, -8.0, 8.0)), axis=-1)
+    return jnp.sum(max_scale * alive) / n
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -158,12 +179,15 @@ def train_loop(
     checkpoint_fn=None,
     checkpoint_interval: int = 0,
     mesh_devices: int = 1,
+    snapshot_fn=None,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
     metrics_fn(iteration, StepMetrics) fires every step; checkpoint_fn
-    (iteration, state) every ``checkpoint_interval`` iters; ``mesh_devices``
-    > 1 shards tile rows across devices (parallel/sharded.py).
+    (iteration, state) every ``checkpoint_interval`` iters; snapshot_fn
+    (iteration, state, camera, gt) every cfg.train.snapshot_interval iters
+    (reference: per-500-step PPM dumps, mtl_engine.mm:976-988);
+    ``mesh_devices`` > 1 shards tile rows across devices (parallel/sharded.py).
     """
     epochs = num_epochs if num_epochs is not None else cfg.train.epochs
     total_iters = epochs * len(cameras)
@@ -188,6 +212,12 @@ def train_loop(
                 metrics_fn(iteration, metrics)
             if checkpoint_fn and checkpoint_interval and iteration % checkpoint_interval == 0:
                 checkpoint_fn(iteration, state)
+            if (
+                snapshot_fn
+                and cfg.train.snapshot_interval
+                and iteration % cfg.train.snapshot_interval == 0
+            ):
+                snapshot_fn(iteration, state, cam, gt)
 
             if should_densify(iteration, cfg):
                 state, stats = densify_step(state, scene_extent, cam.fx, cfg)

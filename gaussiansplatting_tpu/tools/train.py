@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host coordinator host:port (jax.distributed)")
     p.add_argument("--snapshot-dir", default=None,
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
+    p.add_argument("--eval-split", type=int, default=0, metavar="N",
+                   help="hold out every Nth view from training and report "
+                        "held-out PSNR/L1 at the end (official-3DGS style; 0 = off)")
     return p
 
 
@@ -148,9 +151,21 @@ def main(argv=None) -> int:
     log.log("start", colmap=args.colmap, devices=args.devices, **topo)
 
     cameras, gts, params, extent = load_scene(args, cfg)
+    eval_cams, eval_gts = [], []
+    if args.eval_split > 1:
+        train_cams, train_gts = [], []
+        for i, (c, g) in enumerate(zip(cameras, gts)):
+            if i % args.eval_split == 0:
+                eval_cams.append(c)
+                eval_gts.append(g)
+            else:
+                train_cams.append(c)
+                train_gts.append(g)
+        cameras, gts = train_cams, train_gts
     log.log(
         "scene",
         views=len(cameras),
+        eval_views=len(eval_cams),
         n_init=int(np.asarray(params.alive).sum()),
         capacity=params.capacity,
         extent=round(extent, 4),
@@ -223,6 +238,21 @@ def main(argv=None) -> int:
 
     if args.checkpoint_dir:
         checkpoint_fn(int(state.opt.t), state)
+
+    # held-out evaluation (no reference equivalent; official-3DGS test split)
+    if eval_cams:
+        render_jit = jax.jit(raster_render, static_argnums=2)
+        psnrs = []
+        for c, g in zip(eval_cams, eval_gts):
+            img, _ = render_jit(state.params, c, cfg.raster)
+            mse = float(np.mean((np.asarray(img) - np.asarray(g)) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        log.log(
+            "eval",
+            views=len(psnrs),
+            psnr=round(sum(psnrs) / len(psnrs), 3),
+            psnr_min=round(min(psnrs), 3),
+        )
 
     # export PLY (reference: PLYExporter::exportPLY, main.mm:408-418)
     count = int(np.asarray(state.params.alive).sum())

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host coordinator host:port (jax.distributed)")
     p.add_argument("--snapshot-dir", default=None,
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
+    p.add_argument("--shuffle", action="store_true",
+                   help="shuffle view order each epoch (official-3DGS style; "
+                        "default keeps the reference's fixed order)")
     p.add_argument("--eval-split", type=int, default=0, metavar="N",
                    help="hold out every Nth view from training and report "
                         "held-out PSNR/L1 at the end (official-3DGS style; 0 = off)")
@@ -233,6 +236,7 @@ def main(argv=None) -> int:
         checkpoint_interval=args.checkpoint_interval,
         mesh_devices=args.devices,
         snapshot_fn=snapshot_fn if args.snapshot_dir else None,
+        shuffle_seed=cfg.train.seed if args.shuffle else None,
     )
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 

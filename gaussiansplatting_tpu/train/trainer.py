@@ -180,6 +180,7 @@ def train_loop(
     checkpoint_interval: int = 0,
     mesh_devices: int = 1,
     snapshot_fn=None,
+    shuffle_seed: int | None = None,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
@@ -187,7 +188,9 @@ def train_loop(
     (iteration, state) every ``checkpoint_interval`` iters; snapshot_fn
     (iteration, state, camera, gt) every cfg.train.snapshot_interval iters
     (reference: per-500-step PPM dumps, mtl_engine.mm:976-988);
-    ``mesh_devices`` > 1 shards tile rows across devices (parallel/sharded.py).
+    ``mesh_devices`` > 1 shards tile rows across devices (parallel/sharded.py);
+    ``shuffle_seed`` randomizes view order per epoch (official-3DGS style —
+    the reference always iterates in file order, mtl_engine.mm:1085).
     """
     epochs = num_epochs if num_epochs is not None else cfg.train.epochs
     total_iters = epochs * len(cameras)
@@ -204,8 +207,16 @@ def train_loop(
     else:
         step_fn = lambda st, cam, gt: train_step(st, cam, gt, cfg, total_iters)  # noqa: E731
 
+    import random as _random
+
+    order_rng = _random.Random(shuffle_seed) if shuffle_seed is not None else None
+
     for epoch in range(epochs):
-        for idx, (cam, gt) in enumerate(zip(cameras, gt_images)):
+        order = list(range(len(cameras)))
+        if order_rng is not None:
+            order_rng.shuffle(order)
+        for idx, view in enumerate(order):
+            cam, gt = cameras[view], gt_images[view]
             state, metrics = step_fn(state, cam, gt)
             iteration += 1
             if metrics_fn:

@@ -196,11 +196,13 @@ def build_pairs(
     src_c = jnp.clip(src, 0, p_cap - 1)
     aligned_gid = jnp.where(in_run, sorted_gid[src_c], -1).reshape(a_cap)
 
-    # slot occupying each aligned position, and its inverse (unique-index
-    # scatter: every slot lands in at most one aligned position)
+    # slot occupying each aligned position, and its inverse.  In-range
+    # indices are unique (every slot lands in at most one aligned position)
+    # but the out-of-range padding sentinel repeats, so unique_indices must
+    # NOT be promised (XLA leaves violations undefined).
     amap_slot = jnp.where(in_run, sorted_slot[src_c], p_cap).reshape(a_cap)
     inv_amap = jnp.full((p_cap,), a_cap, jnp.int32).at[amap_slot].set(
-        jnp.arange(a_cap, dtype=jnp.int32), mode="drop", unique_indices=True
+        jnp.arange(a_cap, dtype=jnp.int32), mode="drop"
     )
 
     return PairBlocks(

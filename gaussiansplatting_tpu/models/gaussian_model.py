@@ -92,6 +92,23 @@ class GaussianModel:
         state, cfg = ckpt_mod.load(path)
         return cls(state=state, config=cfg or Config())
 
+    @classmethod
+    def from_colmap_scene(
+        cls, colmap_dir: str, images_dir: str,
+        config: Config | None = None, downscale: int = 1,
+        capacity: int | None = None,
+    ) -> tuple["GaussianModel", list, list]:
+        """One-call dataset + model assembly: returns (model, cameras,
+        gt_images) ready for ``model.train(cameras, gt_images)``."""
+        from gaussiansplatting_tpu.io.dataset import load_colmap_scene
+
+        cfg = config or Config()
+        scene = load_colmap_scene(
+            colmap_dir, images_dir, cfg, downscale=downscale, capacity=capacity
+        )
+        model = cls.from_params(scene.params, cfg, scene_extent=scene.extent)
+        return model, scene.cameras, scene.gt_images
+
     # ------------------------------------------------------------ inference
 
     @property

@@ -50,72 +50,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
 def load_scene(args, cfg):
     """COLMAP -> (cameras, gt_images, initial params, scene_extent)."""
-    from gaussiansplatting_tpu.core import camera as camera_mod
-    from gaussiansplatting_tpu.core import gaussians as gaussians_mod
-    from gaussiansplatting_tpu.io import colmap as colmap_mod
-    from gaussiansplatting_tpu.io import images as images_mod
-    from gaussiansplatting_tpu.io import init as init_mod
+    from gaussiansplatting_tpu.io.dataset import load_colmap_scene
 
-    data = colmap_mod.load_colmap(args.colmap)
-    extent = colmap_mod.compute_scene_extent(data, cfg.init.extent_multiplier)
-
-    # decode ground-truth views in parallel (the reference decodes serially
-    # on the main thread upfront, image_loader.mm:44-99)
-    from concurrent.futures import ThreadPoolExecutor
-
-    views = []
-    for im in data.images:
-        cam_info = data.cameras[im.camera_id]
-        path = images_mod.find_image(args.images, im.name)
-        if path is not None:
-            views.append((im, cam_info, path))
-
-    def decode(view):
-        im, cam_info, path = view
-        rw = cam_info.width // args.downscale
-        rh = cam_info.height // args.downscale
-        return images_mod.load_image(path, target_size=(rw, rh))
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        gts = list(pool.map(decode, views))
-
-    cameras = []
-    for im, cam_info, _ in views:
-        rw = cam_info.width // args.downscale
-        rh = cam_info.height // args.downscale
-        cameras.append(
-            camera_mod.make_camera(
-                im.quat_wxyz, im.translation,
-                cam_info.fx, cam_info.fy, cam_info.cx, cam_info.cy,
-                cam_info.width, cam_info.height,
-                render_width=rw, render_height=rh,
-                near=cfg.train.near, far=cfg.train.far,
-            )
+    try:
+        scene = load_colmap_scene(
+            args.colmap, args.images, cfg,
+            downscale=args.downscale, capacity=args.capacity,
+            knn_mode=args.knn_mode,
         )
-    if not cameras:
-        raise SystemExit(f"no training images found under {args.images}")
-
-    cloud = init_mod.gaussians_from_points(
-        data.points, data.point_colors, extent, cfg.init, knn_mode=args.knn_mode
-    )
-    n = cloud.means.shape[0]
-    capacity = args.capacity or min(
-        cfg.density.max_gaussians, max(_next_pow2(4 * n), 1 << 17)
-    )
-    params = gaussians_mod.from_arrays(
-        cloud.means, cloud.log_scales, cloud.quats, cloud.raw_opacities,
-        cloud.sh, capacity=capacity,
-    )
-    return cameras, gts, params, extent
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}")
+    if len(scene.resolutions) > 1:
+        print(
+            f"warning: {len(scene.resolutions)} distinct render resolutions "
+            f"{scene.resolutions[:4]} — each compiles its own train step"
+        )
+    return scene.cameras, scene.gt_images, scene.params, scene.extent
 
 
 def main(argv=None) -> int:

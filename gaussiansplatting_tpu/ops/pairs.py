@@ -84,13 +84,20 @@ def build_pairs(
     pair_capacity: int,
     block: int,
     row0=0,
+    compute_inverse: bool = False,
 ) -> PairBlocks:
     """``tiles_y`` is the number of tile ROWS this call rasterizes and ``row0``
     the first (absolute) tile row — used by the tile-sharded multi-chip path
     where each device owns a horizontal strip.  Tile ids in the output are
     strip-local.  The per-Gaussian cull decisions (including the 256-tile cap)
     were made against the FULL image rect in projection, matching the
-    reference; only pair emission is restricted to the strip."""
+    reference; only pair emission is restricted to the strip.
+
+    ``compute_inverse`` additionally builds ``inv_amap`` for the scatter-free
+    gradient reduction (grad_reduce="prefix").  It costs a fourth sort operand
+    plus an inverse-permutation scatter — lax.sort permutes every operand
+    whether its output is consumed or not — so it is off by default and
+    ``inv_amap`` is a zero-length placeholder."""
     num_tiles = tiles_x * tiles_y
     n = proj.depth.shape[0]
     p_cap = pair_capacity
@@ -155,11 +162,17 @@ def build_pairs(
     gid = jnp.where(slot_valid, gid, -1)
 
     # --- lexicographic sort by (tile, depth); invalid pairs sink to the end.
-    # The slot index rides along so the aligned layout can be inverted for
-    # the scatter-free gradient reduction.
-    sorted_tile, _sorted_depth, sorted_gid, sorted_slot = jax.lax.sort(
-        (tile_id, depth, gid, slots), num_keys=2
-    )
+    # The slot index rides along only when the aligned layout must be
+    # invertible (scatter-free gradient reduction).
+    if compute_inverse:
+        sorted_tile, _sorted_depth, sorted_gid, sorted_slot = jax.lax.sort(
+            (tile_id, depth, gid, slots), num_keys=2
+        )
+    else:
+        sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
+            (tile_id, depth, gid), num_keys=2
+        )
+        sorted_slot = None
 
     # --- per-tile counts and starts in the sorted array
     ones = jnp.where(sorted_tile < num_tiles, 1, 0)
@@ -200,10 +213,13 @@ def build_pairs(
     # indices are unique (every slot lands in at most one aligned position)
     # but the out-of-range padding sentinel repeats, so unique_indices must
     # NOT be promised (XLA leaves violations undefined).
-    amap_slot = jnp.where(in_run, sorted_slot[src_c], p_cap).reshape(a_cap)
-    inv_amap = jnp.full((p_cap,), a_cap, jnp.int32).at[amap_slot].set(
-        jnp.arange(a_cap, dtype=jnp.int32), mode="drop"
-    )
+    if compute_inverse:
+        amap_slot = jnp.where(in_run, sorted_slot[src_c], p_cap).reshape(a_cap)
+        inv_amap = jnp.full((p_cap,), a_cap, jnp.int32).at[amap_slot].set(
+            jnp.arange(a_cap, dtype=jnp.int32), mode="drop"
+        )
+    else:
+        inv_amap = jnp.zeros((0,), jnp.int32)
 
     return PairBlocks(
         gaussian_id=aligned_gid,

@@ -225,7 +225,8 @@ def render(
     color = _color_with_dead_zone(proj.color)
 
     pair_blocks = pairs_mod.build_pairs(
-        proj, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0
+        proj, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
+        compute_inverse=(cfg.grad_reduce == "prefix"),
     )
     a_cap = pair_blocks.gaussian_id.shape[0]
     num_blocks = a_cap // block

@@ -301,3 +301,42 @@ def test_native_lib_matches_python(tmp_path, rng):
     nd = native.knn_mean_dist(np.asarray(coords, np.float32), k=3)
     pd = knn_mean_distances(np.asarray(coords, np.float32), k=3)
     np.testing.assert_allclose(nd, pd, rtol=1e-5)
+
+
+def test_ply_malformed_inputs(tmp_path):
+    """Malformed PLYs fail with clear errors, not crashes or garbage."""
+    from gaussiansplatting_tpu.io.ply import load_gaussian_ply
+
+    cases = {
+        "not_ply.ply": b"solid nope\n",
+        "truncated_header.ply": b"ply\nformat binary_little_endian 1.0\n",
+        "missing_fields.ply": (
+            b"ply\nformat binary_little_endian 1.0\nelement vertex 1\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n" + b"\x00" * 12
+        ),
+    }
+    for name, payload in cases.items():
+        path = tmp_path / name
+        path.write_bytes(payload)
+        with pytest.raises(ValueError):
+            load_gaussian_ply(str(path))
+
+
+def test_ply_truncated_body(tmp_path, rng):
+    """A body shorter than the header promises loads the complete rows only
+    (or raises) — never reads out of bounds."""
+    from gaussiansplatting_tpu.io.ply import load_gaussian_ply
+    from gaussiansplatting_tpu.io.ply import export_gaussian_ply, GaussianCloud
+
+    cloud = _random_cloud(rng, n=8)
+    path = str(tmp_path / "full.ply")
+    export_gaussian_ply(path, cloud)
+    blob = open(path, "rb").read()
+    trunc = tmp_path / "trunc.ply"
+    trunc.write_bytes(blob[: len(blob) - 40])
+    try:
+        out = load_gaussian_ply(str(trunc))
+        assert out.means.shape[0] <= 8
+    except ValueError:
+        pass

@@ -106,6 +106,75 @@ def _mean_world_scale(params) -> jnp.ndarray:
     return jnp.sum(max_scale * alive) / n
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "total_iters"))
+def train_step_batched(
+    state: TrainState,
+    cameras: Camera,          # K-stacked pytree (same static W/H)
+    gt_images: jnp.ndarray,   # [K, H, W, 3]
+    cfg: Config,
+    total_iters: int,
+) -> tuple[TrainState, StepMetrics]:
+    """One Adam step on the MEAN loss over K views (gradient accumulation).
+
+    No reference equivalent — the reference (and official 3DGS) steps per
+    view.  Batching amortizes fixed per-step overhead and gives a larger
+    effective batch; density statistics accumulate per view exactly as K
+    sequential accumulate() calls would (density_control.mm:121-185).
+    """
+    params = state.params
+    capacity = params.capacity
+    k = gt_images.shape[0]
+
+    def loss_fn(trainable, vs_dummy):
+        p = params.replace(**trainable)
+
+        def one_view(cam, gt, vs):
+            img, aux = render(p, cam, cfg.raster, vs_dummy=vs)
+            rep = photometric_loss(img, gt, cfg.loss)
+            return rep, aux, img
+
+        rep, aux, imgs = jax.vmap(one_view, in_axes=(0, 0, 0))(
+            cameras, gt_images, vs_dummy
+        )
+        return jnp.mean(rep.grad_loss), (rep, aux, imgs)
+
+    trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
+    vs_zero = jnp.zeros((k, capacity, 2), jnp.float32)
+    (_, (rep, aux, imgs)), (grads, vs_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(trainable, vs_zero)
+
+    lrs = schedule.learning_rates(cfg.optim, state.opt.t, total_iters)
+    new_params, new_opt = optimizer.step(params, grads, state.opt, lrs, cfg.optim)
+
+    # per-view density statistics: fold K views sequentially (the vs_grad of
+    # the mean loss is each view's gradient / K; undo the 1/K so thresholds
+    # keep their reference meaning)
+    accum = state.accum
+
+    def fold(accum, view):
+        vsg, pg = view
+        return density.accumulate(accum, vsg * k, pg, cfg.density), None
+
+    accum, _ = jax.lax.scan(
+        fold, accum, (vs_grad, jnp.broadcast_to(grads["means"], (k,) + grads["means"].shape))
+    )
+
+    metrics = StepMetrics(
+        loss=jnp.mean(rep.combined_mean),
+        l1=jnp.mean(rep.l1_mean),
+        dssim=jnp.mean(rep.dssim_mean),
+        psnr=jnp.mean(psnr(imgs, gt_images)),
+        num_pairs=jnp.sum(aux.num_pairs),
+        overflow=jnp.any(aux.overflow),
+        position_lr=lrs.position,
+        num_gaussians=new_params.count(),
+        mean_opacity=_mean_opacity(new_params),
+        mean_world_scale=_mean_world_scale(new_params),
+    )
+    return state.replace(params=new_params, opt=new_opt, accum=accum), metrics
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def densify_step(
     state: TrainState,

@@ -104,3 +104,57 @@ def test_schedule_predicates():
     assert not trainer.should_reset_opacity(0, cfg)
     assert not trainer.should_reset_opacity(15000, cfg)
     assert not trainer.should_reset_opacity(3001, cfg)
+
+
+def test_batched_step_matches_mean_gradient(rng):
+    """train_step_batched over K views == one Adam step on the mean of the
+    per-view gradients (gradient accumulation semantics)."""
+    import jax
+
+    from gaussiansplatting_tpu.ops.losses import photometric_loss
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from gaussiansplatting_tpu.train import optimizer, schedule
+
+    cfg = _cfg()
+    cams = [
+        make_camera_for_scene(width=48, height=32),
+        make_camera_for_scene(width=48, height=32, fov_scale=1.5),
+    ]
+    gt_params = _scene_params(rng)
+    gts = [
+        jax.jit(render, static_argnums=2)(gt_params, c, cfg.raster)[0]
+        for c in cams
+    ]
+
+    start = _scene_params(rng, perturb=0.5)
+    st = train_state.create(start)
+
+    # manual: mean of per-view grads -> one optimizer.step
+    def view_loss(trainable, cam, gt):
+        p = start.replace(**trainable)
+        img, _ = render(p, cam, cfg.raster)
+        return photometric_loss(img, gt, cfg.loss).grad_loss
+
+    trainable = {f: getattr(start, f) for f in optimizer.TRAINABLE}
+    g0 = jax.grad(view_loss)(trainable, cams[0], gts[0])
+    g1 = jax.grad(view_loss)(trainable, cams[1], gts[1])
+    mean_g = {k: (g0[k] + g1[k]) / 2.0 for k in g0}
+    lrs = schedule.learning_rates(cfg.optim, st.opt.t, 100)
+    want_params, _ = optimizer.step(start, mean_g, st.opt, lrs, cfg.optim)
+
+    cam_batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    gt_batch = jnp.stack(gts)
+    new_st, metrics = trainer.train_step_batched(st, cam_batch, gt_batch, cfg, 100)
+
+    np.testing.assert_allclose(
+        np.asarray(new_st.params.means), np.asarray(want_params.means), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_st.params.sh), np.asarray(want_params.sh), atol=1e-6
+    )
+    assert int(new_st.opt.t) == 1
+    # density accumulators saw both views
+    single_st, _ = trainer.train_step(st, cams[0], gts[0], cfg, 100)
+    assert float(jnp.sum(new_st.accum.grad_count)) >= float(
+        jnp.sum(single_st.accum.grad_count)
+    )

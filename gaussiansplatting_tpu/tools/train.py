@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host coordinator host:port (jax.distributed)")
     p.add_argument("--snapshot-dir", default=None,
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
+    p.add_argument("--batch-views", type=int, default=1, metavar="K",
+                   help="one Adam step on the mean gradient of K views "
+                        "(amortizes per-step overhead; 1 = reference parity)")
     p.add_argument("--shuffle", action="store_true",
                    help="shuffle view order each epoch (official-3DGS style; "
                         "default keeps the reference's fixed order)")
@@ -189,6 +192,7 @@ def main(argv=None) -> int:
         mesh_devices=args.devices,
         snapshot_fn=snapshot_fn if args.snapshot_dir else None,
         shuffle_seed=cfg.train.seed if args.shuffle else None,
+        batch_views=args.batch_views,
     )
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 

@@ -250,6 +250,7 @@ def train_loop(
     mesh_devices: int = 1,
     snapshot_fn=None,
     shuffle_seed: int | None = None,
+    batch_views: int = 1,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
@@ -259,10 +260,14 @@ def train_loop(
     (reference: per-500-step PPM dumps, mtl_engine.mm:976-988);
     ``mesh_devices`` > 1 shards tile rows across devices (parallel/sharded.py);
     ``shuffle_seed`` randomizes view order per epoch (official-3DGS style —
-    the reference always iterates in file order, mtl_engine.mm:1085).
+    the reference always iterates in file order, mtl_engine.mm:1085);
+    ``batch_views`` > 1 takes one Adam step on the mean gradient of K views
+    (train_step_batched) — iteration counts optimizer steps, so the densify /
+    reset / LR schedules then see fewer, larger steps.
     """
     epochs = num_epochs if num_epochs is not None else cfg.train.epochs
-    total_iters = epochs * len(cameras)
+    steps_per_epoch = -(-len(cameras) // batch_views)
+    total_iters = epochs * steps_per_epoch
     iteration = int(state.opt.t)
 
     if mesh_devices > 1:
@@ -280,12 +285,37 @@ def train_loop(
 
     order_rng = _random.Random(shuffle_seed) if shuffle_seed is not None else None
 
+    if batch_views > 1:
+        if mesh_devices > 1:
+            raise NotImplementedError("batch_views with mesh_devices > 1")
+        sizes = {(c.width, c.height) for c in cameras}
+        if len(sizes) > 1:
+            raise ValueError(f"batch_views requires one resolution, got {sizes}")
+
+        def step_fn(st, cam_batch, gt_batch):  # noqa: F811
+            return train_step_batched(st, cam_batch, gt_batch, cfg, total_iters)
+
     for epoch in range(epochs):
         order = list(range(len(cameras)))
         if order_rng is not None:
             order_rng.shuffle(order)
-        for idx, view in enumerate(order):
-            cam, gt = cameras[view], gt_images[view]
+        if batch_views > 1:
+            groups = [
+                [order[(i + j) % len(order)] for j in range(batch_views)]
+                for i in range(0, len(order), batch_views)
+            ]
+            views_iter = [
+                (
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *[cameras[v] for v in g]
+                    ),
+                    jnp.stack([gt_images[v] for v in g]),
+                )
+                for g in groups
+            ]
+        else:
+            views_iter = [(cameras[v], gt_images[v]) for v in order]
+        for idx, (cam, gt) in enumerate(views_iter):
             state, metrics = step_fn(state, cam, gt)
             iteration += 1
             if metrics_fn:

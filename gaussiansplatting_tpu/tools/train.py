@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
     p.add_argument("--batch-views", type=int, default=1, metavar="K",
                    help="one Adam step on the mean gradient of K views "
-                        "(amortizes per-step overhead; 1 = reference parity)")
+                        "(larger effective batch; 1 = reference parity)")
     p.add_argument("--shuffle", action="store_true",
                    help="shuffle view order each epoch (official-3DGS style; "
                         "default keeps the reference's fixed order)")

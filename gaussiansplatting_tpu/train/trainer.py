@@ -117,9 +117,12 @@ def train_step_batched(
     """One Adam step on the MEAN loss over K views (gradient accumulation).
 
     No reference equivalent — the reference (and official 3DGS) steps per
-    view.  Batching amortizes fixed per-step overhead and gives a larger
-    effective batch; density statistics accumulate per view exactly as K
-    sequential accumulate() calls would (density_control.mm:121-185).
+    view.  The value is the larger effective batch (smoother gradients), not
+    throughput: per-view work is dominated by capacity-proportional index ops
+    that K-fold batching multiplies rather than amortizes (measured 3.0 vs
+    5.0 views/s at K=4 vs K=1 on v5e).  Density statistics accumulate per
+    view exactly as K sequential accumulate() calls would
+    (density_control.mm:121-185).
     """
     params = state.params
     capacity = params.capacity

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host coordinator host:port (jax.distributed)")
     p.add_argument("--snapshot-dir", default=None,
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
+    p.add_argument("--adaptive-pairs", action="store_true",
+                   help="auto-bucket pair capacity to the live workload "
+                        "(--pair-capacity becomes the upper bound)")
     p.add_argument("--batch-views", type=int, default=1, metavar="K",
                    help="one Adam step on the mean gradient of K views "
                         "(larger effective batch; 1 = reference parity)")
@@ -193,6 +196,7 @@ def main(argv=None) -> int:
         snapshot_fn=snapshot_fn if args.snapshot_dir else None,
         shuffle_seed=cfg.train.seed if args.shuffle else None,
         batch_views=args.batch_views,
+        adaptive_pairs=args.adaptive_pairs,
     )
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 

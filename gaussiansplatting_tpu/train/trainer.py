@@ -254,6 +254,9 @@ def train_loop(
     snapshot_fn=None,
     shuffle_seed: int | None = None,
     batch_views: int = 1,
+    adaptive_pairs: bool = False,
+    adapt_interval: int = 50,
+    min_pair_capacity: int = 1 << 16,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
@@ -267,22 +270,46 @@ def train_loop(
     ``batch_views`` > 1 takes one Adam step on the mean gradient of K views
     (train_step_batched) — iteration counts optimizer steps, so the densify /
     reset / LR schedules then see fewer, larger steps.
+
+    ``adaptive_pairs`` resizes the pair capacity to the workload: every
+    ``adapt_interval`` iters the loop reads the emitted pair count and
+    rebuckets capacity to the next power of two above 1.5x the recent peak
+    (within [min_pair_capacity, cfg.raster.pair_capacity]), growing
+    immediately on overflow.  Step cost on TPU scales with the STATIC
+    capacity, not the live pair count, so real scenes — which start sparse
+    and densify over time — avoid paying peak cost from iteration 0.  Each
+    rebucket triggers one recompile; power-of-two bucketing bounds the
+    number of distinct programs to ~log2(max/min).
     """
     epochs = num_epochs if num_epochs is not None else cfg.train.epochs
     steps_per_epoch = -(-len(cameras) // batch_views)
     total_iters = epochs * steps_per_epoch
     iteration = int(state.opt.t)
 
-    if mesh_devices > 1:
-        from gaussiansplatting_tpu.parallel import mesh as mesh_mod
-        from gaussiansplatting_tpu.parallel.sharded import make_sharded_train_step
+    max_pair_capacity = cfg.raster.pair_capacity
+    if adaptive_pairs:
+        cap = min(max_pair_capacity, max(min_pair_capacity, 1))
+        cfg = cfg.replace(raster=cfg.raster.replace(pair_capacity=cap))
+    recent_peak = 0
 
-        sharded_step = make_sharded_train_step(
-            mesh_mod.make_mesh(mesh_devices), cfg, total_iters
-        )
-        step_fn = lambda st, cam, gt: sharded_step(st, cam, gt)  # noqa: E731
-    else:
-        step_fn = lambda st, cam, gt: train_step(st, cam, gt, cfg, total_iters)  # noqa: E731
+    def build_step_fn(cfg):
+        if mesh_devices > 1:
+            from gaussiansplatting_tpu.parallel import mesh as mesh_mod
+            from gaussiansplatting_tpu.parallel.sharded import (
+                make_sharded_train_step,
+            )
+
+            sharded_step = make_sharded_train_step(
+                mesh_mod.make_mesh(mesh_devices), cfg, total_iters
+            )
+            return lambda st, cam, gt: sharded_step(st, cam, gt)
+        if batch_views > 1:
+            return lambda st, cam, gt: train_step_batched(
+                st, cam, gt, cfg, total_iters
+            )
+        return lambda st, cam, gt: train_step(st, cam, gt, cfg, total_iters)
+
+    step_fn = build_step_fn(cfg)
 
     import random as _random
 
@@ -294,9 +321,6 @@ def train_loop(
         sizes = {(c.width, c.height) for c in cameras}
         if len(sizes) > 1:
             raise ValueError(f"batch_views requires one resolution, got {sizes}")
-
-        def step_fn(st, cam_batch, gt_batch):  # noqa: F811
-            return train_step_batched(st, cam_batch, gt_batch, cfg, total_iters)
 
     for epoch in range(epochs):
         order = list(range(len(cameras)))
@@ -323,6 +347,27 @@ def train_loop(
             iteration += 1
             if metrics_fn:
                 metrics_fn(iteration, metrics)
+
+            if adaptive_pairs and iteration % adapt_interval == 0:
+                pairs_now = int(metrics.num_pairs)
+                recent_peak = max(recent_peak, pairs_now)
+                cur = cfg.raster.pair_capacity
+                if bool(metrics.overflow):
+                    want = min(cur * 2, max_pair_capacity)
+                else:
+                    want = 1 << max(int(recent_peak * 1.5) - 1, 1).bit_length()
+                    want = min(max(want, min_pair_capacity), max_pair_capacity)
+                if want != cur:
+                    cfg = cfg.replace(
+                        raster=cfg.raster.replace(pair_capacity=want)
+                    )
+                    step_fn = build_step_fn(cfg)
+                    recent_peak = pairs_now
+                    if log_fn:
+                        log_fn(
+                            f"iter {iteration}: pair capacity {cur} -> {want} "
+                            f"(live pairs {pairs_now})"
+                        )
             if checkpoint_fn and checkpoint_interval and iteration % checkpoint_interval == 0:
                 checkpoint_fn(iteration, state)
             if (

@@ -158,3 +158,33 @@ def test_batched_step_matches_mean_gradient(rng):
     assert float(jnp.sum(new_st.accum.grad_count)) >= float(
         jnp.sum(single_st.accum.grad_count)
     )
+
+
+def test_adaptive_pair_capacity_grows_out_of_overflow(rng):
+    """Starting below the live pair count, the loop doubles capacity until
+    pairs fit (power-of-two buckets, bounded by the configured maximum)."""
+    import jax
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    cfg = _cfg().replace(
+        raster=RasterConfig(pair_capacity=1 << 14, pair_block=16),
+    )
+    cam = make_camera_for_scene(width=48, height=32)
+    gt_params = _scene_params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(_scene_params(rng, perturb=0.5))
+    logs = []
+    # the scene emits ~90 pairs; start the bucket at 64 to force overflow
+    st = trainer.train_loop(
+        st, [cam], [gt], cfg, scene_extent=1.0, num_epochs=8,
+        adaptive_pairs=True, adapt_interval=1, min_pair_capacity=64,
+        log_fn=logs.append,
+    )
+    assert int(st.opt.t) == 8
+    resizes = [l for l in logs if "pair capacity" in l]
+    assert resizes, logs
+    assert "64 -> 128" in resizes[0]
+    # after growth the final steps must not overflow
+    last_pairs = [l for l in logs if "pairs=" in l][-1]
+    assert "pairs=9" in last_pairs or "pairs=8" in last_pairs

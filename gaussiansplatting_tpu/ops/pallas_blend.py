@@ -175,7 +175,7 @@ def _call(kernel, coef, opacity, color, extra_in, out_shapes, cfg_consts):
         blk((b,)),
         blk((4, b)),
         pl.BlockSpec((p2, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
-    ] + [blk(s.shape[1:]) for s in extra_in_structs(extra_in)]
+    ] + [blk(x.shape[1:]) for x in extra_in]
     out_specs = tuple(blk(s[1:]) for s in out_shapes)
     outs = pl.pallas_call(
         functools.partial(kernel, cfg_consts=cfg_consts),
@@ -193,10 +193,6 @@ def _call(kernel, coef, opacity, color, extra_in, out_shapes, cfg_consts):
     if len(out_shapes) == 1:
         return (outs[:nb],)
     return tuple(o[:nb] for o in outs)
-
-
-def extra_in_structs(extra_in):
-    return [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in extra_in]
 
 
 def _interpret() -> bool:

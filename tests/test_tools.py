@@ -292,3 +292,32 @@ def test_evaluate_cli(tiny_scene_dir, tmp_path):
     # the PLY was written from the same cloud the GT images were rendered
     # with, so reconstruction should be near-perfect
     assert all(v["psnr"] > 30 for v in views)
+
+
+def test_bench_train_cli_smoke():
+    """The convergence benchmark runs end to end at toy scale."""
+    import contextlib
+    import io as _io
+
+    from gaussiansplatting_tpu.tools import bench_train
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench_train.main([
+            "--n", "64", "--views", "2", "--iters", "4",
+            "--width", "64", "--height", "48", "--pair-capacity", "2048",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["metric"] == "train_convergence_synthetic"
+    assert out["detail"]["iters"] == 4
+
+
+def test_profiling_loop_time_ms_smoke():
+    from gaussiansplatting_tpu.utils.profiling import loop_time_ms
+
+    def f(x):
+        return x * 1.0000001 + 1e-9
+
+    ms = loop_time_ms(f, (jnp.ones((128, 128)),), k_small=1, k_large=4, repeats=1)
+    assert np.isfinite(ms)

@@ -150,3 +150,34 @@ def test_sharded_loop_with_densify(rng):
     # densification with grad_threshold ~0 must have grown the population
     assert int(np.asarray(st.params.alive).sum()) > 24
     assert np.isfinite(np.asarray(st.params.means)).all()
+
+
+def test_sharded_step_with_pallas_blend(rng):
+    """The Pallas custom-VJP blend traces through shard_map (interpret mode
+    here; the same program path runs compiled on a real multi-chip TPU)."""
+    cfg = Config(
+        raster=RasterConfig(pair_capacity=2048, pair_block=16, blend_impl="pallas")
+    )
+    cam = make_camera_for_scene(width=64, height=64)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(_params(np.random.default_rng(5)))
+    m = mesh_mod.make_mesh()
+    sstep = make_sharded_train_step(m, cfg, 100)
+    st, metrics = sstep(st, cam, gt)
+    assert np.isfinite(float(metrics.loss))
+
+    # and it matches the XLA blend under the same sharding
+    cfg_x = Config(
+        raster=RasterConfig(pair_capacity=2048, pair_block=16, blend_impl="xla")
+    )
+    st_x = train_state.create(_params(np.random.default_rng(5)))
+    sstep_x = make_sharded_train_step(m, cfg_x, 100)
+    st_x, metrics_x = sstep_x(st_x, cam, gt)
+    np.testing.assert_allclose(
+        float(metrics.loss), float(metrics_x.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.params.means), np.asarray(st_x.params.means), atol=2e-5
+    )

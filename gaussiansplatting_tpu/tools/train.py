@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host coordinator host:port (jax.distributed)")
     p.add_argument("--snapshot-dir", default=None,
                    help="write render+gt PNG snapshots every config snapshot_interval iters")
+    p.add_argument("--sh-degree", type=int, default=None, choices=(0, 1),
+                   help="override config SH degree (1 = trainable view-dependent color)")
     p.add_argument("--adaptive-pairs", action="store_true",
                    help="auto-bucket pair capacity to the live workload "
                         "(--pair-capacity becomes the upper bound)")
@@ -103,7 +105,10 @@ def main(argv=None) -> int:
             cfg = Config.from_json(f.read())
     else:
         cfg = Config()
-    cfg = cfg.replace(raster=cfg.raster.replace(pair_capacity=args.pair_capacity))
+    raster = cfg.raster.replace(pair_capacity=args.pair_capacity)
+    if args.sh_degree is not None:
+        raster = raster.replace(sh_degree=args.sh_degree)
+    cfg = cfg.replace(raster=raster)
 
     from gaussiansplatting_tpu.parallel import launch
 

@@ -26,9 +26,14 @@ def initialize(
 ) -> dict:
     """Initialize jax.distributed (no-op when single-process) and return a
     topology summary for logging."""
-    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
-    num_processes = num_processes or _int_env("NUM_PROCESSES")
-    process_id = process_id or _int_env("PROCESS_ID")
+    # explicit zeros are meaningful (process_id=0 is the coordinator), so
+    # only fall back to the environment when the argument is actually None
+    if coordinator is None:
+        coordinator = os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = _int_env("NUM_PROCESSES")
+    if process_id is None:
+        process_id = _int_env("PROCESS_ID")
 
     if coordinator is not None or num_processes not in (None, 1):
         kwargs = {}

@@ -145,6 +145,12 @@ def main(argv=None) -> int:
         state, saved_cfg = ckpt_mod.load(latest)
         if saved_cfg is not None:
             cfg = saved_cfg
+            # CLI overrides win over the checkpoint's saved config (raising
+            # --pair-capacity on resume must actually take effect)
+            raster = cfg.raster.replace(pair_capacity=args.pair_capacity)
+            if args.sh_degree is not None:
+                raster = raster.replace(sh_degree=args.sh_degree)
+            cfg = cfg.replace(raster=raster)
         log.log("resume", path=latest, iteration=int(state.opt.t))
     else:
         state = state_mod.create(params, seed=cfg.train.seed)

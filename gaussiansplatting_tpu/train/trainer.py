@@ -121,54 +121,60 @@ def train_step_batched(
     throughput: per-view work is dominated by capacity-proportional index ops
     that K-fold batching multiplies rather than amortizes (measured 3.0 vs
     5.0 views/s at K=4 vs K=1 on v5e).  Density statistics accumulate per
-    view exactly as K sequential accumulate() calls would
-    (density_control.mm:121-185).
+    view exactly as K sequential accumulate() calls would at the same
+    parameters (density_control.mm:121-185): per-view position gradients are
+    recovered through a per-view zero ``pos_dummy`` added to the means (the
+    mean-loss gradient w.r.t. the shared means would blur the per-view
+    ``contrib`` gating otherwise).
+
+    ``metrics.num_pairs`` reports the MAX per-view pair count — the quantity
+    pair capacity must cover — not the K-view sum.
     """
     params = state.params
     capacity = params.capacity
     k = gt_images.shape[0]
 
-    def loss_fn(trainable, vs_dummy):
+    def loss_fn(trainable, vs_dummy, pos_dummy):
         p = params.replace(**trainable)
 
-        def one_view(cam, gt, vs):
-            img, aux = render(p, cam, cfg.raster, vs_dummy=vs)
+        def one_view(cam, gt, vs, pos_d):
+            pv = p.replace(means=p.means + pos_d)
+            img, aux = render(pv, cam, cfg.raster, vs_dummy=vs)
             rep = photometric_loss(img, gt, cfg.loss)
             return rep, aux, img
 
-        rep, aux, imgs = jax.vmap(one_view, in_axes=(0, 0, 0))(
-            cameras, gt_images, vs_dummy
+        rep, aux, imgs = jax.vmap(one_view, in_axes=(0, 0, 0, 0))(
+            cameras, gt_images, vs_dummy, pos_dummy
         )
         return jnp.mean(rep.grad_loss), (rep, aux, imgs)
 
     trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
     vs_zero = jnp.zeros((k, capacity, 2), jnp.float32)
-    (_, (rep, aux, imgs)), (grads, vs_grad) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(trainable, vs_zero)
+    pos_zero = jnp.zeros((k, capacity, 3), jnp.float32)
+    (_, (rep, aux, imgs)), (grads, vs_grad, pos_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(trainable, vs_zero, pos_zero)
 
     lrs = schedule.learning_rates(cfg.optim, state.opt.t, total_iters)
     new_params, new_opt = optimizer.step(params, grads, state.opt, lrs, cfg.optim)
 
-    # per-view density statistics: fold K views sequentially (the vs_grad of
-    # the mean loss is each view's gradient / K; undo the 1/K so thresholds
-    # keep their reference meaning)
+    # per-view density statistics: fold K views sequentially (the vs_grad /
+    # pos_grad of the mean loss are each view's gradient / K; undo the 1/K so
+    # thresholds keep their reference meaning)
     accum = state.accum
 
     def fold(accum, view):
         vsg, pg = view
-        return density.accumulate(accum, vsg * k, pg, cfg.density), None
+        return density.accumulate(accum, vsg * k, pg * k, cfg.density), None
 
-    accum, _ = jax.lax.scan(
-        fold, accum, (vs_grad, jnp.broadcast_to(grads["means"], (k,) + grads["means"].shape))
-    )
+    accum, _ = jax.lax.scan(fold, accum, (vs_grad, pos_grad))
 
     metrics = StepMetrics(
         loss=jnp.mean(rep.combined_mean),
         l1=jnp.mean(rep.l1_mean),
         dssim=jnp.mean(rep.dssim_mean),
         psnr=jnp.mean(psnr(imgs, gt_images)),
-        num_pairs=jnp.sum(aux.num_pairs),
+        num_pairs=jnp.max(aux.num_pairs),
         overflow=jnp.any(aux.overflow),
         position_lr=lrs.position,
         num_gaussians=new_params.count(),
@@ -331,18 +337,25 @@ def train_loop(
                 [order[(i + j) % len(order)] for j in range(batch_views)]
                 for i in range(0, len(order), batch_views)
             ]
+            # (stacked camera pytree, stacked gt, first view's camera + gt —
+            # densify needs a scalar focal and snapshot_fn a single view)
             views_iter = [
                 (
                     jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *[cameras[v] for v in g]
                     ),
                     jnp.stack([gt_images[v] for v in g]),
+                    cameras[g[0]],
+                    gt_images[g[0]],
                 )
                 for g in groups
             ]
         else:
-            views_iter = [(cameras[v], gt_images[v]) for v in order]
-        for idx, (cam, gt) in enumerate(views_iter):
+            views_iter = [
+                (cameras[v], gt_images[v], cameras[v], gt_images[v])
+                for v in order
+            ]
+        for idx, (cam, gt, cam0, gt0) in enumerate(views_iter):
             state, metrics = step_fn(state, cam, gt)
             iteration += 1
             if metrics_fn:
@@ -375,10 +388,10 @@ def train_loop(
                 and cfg.train.snapshot_interval
                 and iteration % cfg.train.snapshot_interval == 0
             ):
-                snapshot_fn(iteration, state, cam, gt)
+                snapshot_fn(iteration, state, cam0, gt0)
 
             if should_densify(iteration, cfg):
-                state, stats = densify_step(state, scene_extent, cam.fx, cfg)
+                state, stats = densify_step(state, scene_extent, cam0.fx, cfg)
                 if log_fn:
                     log_fn(
                         f"iter {iteration}: densify pruned={int(stats.pruned)} "

@@ -160,6 +160,109 @@ def test_batched_step_matches_mean_gradient(rng):
     )
 
 
+def test_batched_pos_grad_accum_matches_sequential(rng):
+    """K-batched density accumulation == K sequential accumulate() calls at
+    the same parameters — including the PER-VIEW position gradients gating
+    (reference: density_control.mm:121-185).  Round-1 bug: the batched step
+    broadcast the K-view MEAN position gradient into every view's fold."""
+    import jax
+
+    from gaussiansplatting_tpu.density import control as density
+    from gaussiansplatting_tpu.ops.losses import photometric_loss
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    cfg = _cfg()
+    cams = [
+        make_camera_for_scene(width=48, height=32),
+        make_camera_for_scene(width=48, height=32, fov_scale=1.5),
+    ]
+    gt_params = _scene_params(rng)
+    gts = [
+        jax.jit(render, static_argnums=2)(gt_params, c, cfg.raster)[0]
+        for c in cams
+    ]
+    start = _scene_params(rng, perturb=0.5)
+    st = train_state.create(start)
+
+    # sequential reference: per-view grads at the SAME params
+    def view_loss(means, vs, cam, gt):
+        p = start.replace(means=means)
+        img, _ = render(p, cam, cfg.raster, vs_dummy=vs)
+        return photometric_loss(img, gt, cfg.loss).grad_loss
+
+    vs0 = jnp.zeros((start.capacity, 2), jnp.float32)
+    accum = density.init_accum(start.capacity)
+    for cam, gt in zip(cams, gts):
+        pg, vsg = jax.grad(view_loss, argnums=(0, 1))(start.means, vs0, cam, gt)
+        accum = density.accumulate(accum, vsg, pg, cfg.density)
+
+    cam_batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    new_st, _ = trainer.train_step_batched(st, cam_batch, jnp.stack(gts), cfg, 100)
+
+    np.testing.assert_array_equal(
+        np.asarray(new_st.accum.grad_count), np.asarray(accum.grad_count)
+    )
+    # fp32-only differences: batched takes grads of mean-loss*K, sequential
+    # per-view — same math, different reduction order
+    np.testing.assert_allclose(
+        np.asarray(new_st.accum.grad_accum), np.asarray(accum.grad_accum),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_st.accum.pos_grad_accum),
+        np.asarray(accum.pos_grad_accum),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_train_loop_batched_crosses_densify(rng, tmp_path):
+    """train_loop with batch_views>1 must survive densify events, opacity
+    resets, and snapshots (round-1 bug: the stacked camera pytree reached
+    densify_step's scalar-focal path and snapshot_fn)."""
+    import jax
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    cfg = _cfg().replace(
+        density=DensityConfig(
+            densify_from_iter=1, densify_until_iter=100, densify_interval=3,
+            opacity_reset_interval=8, grad_threshold=1e-9,
+        ),
+        train=TrainConfig(snapshot_interval=4),
+    )
+    cams = [
+        make_camera_for_scene(width=32, height=32),
+        make_camera_for_scene(width=32, height=32, fov_scale=1.4),
+        make_camera_for_scene(width=32, height=32, fov_scale=0.8),
+    ]
+    gt_params = _scene_params(rng, n=16)
+    gts = [
+        jax.jit(render, static_argnums=2)(gt_params, c, cfg.raster)[0]
+        for c in cams
+    ]
+    st = train_state.create(_scene_params(rng, n=16, perturb=0.5, capacity=64))
+    logs, snaps = [], []
+
+    def snapshot_fn(iteration, state, cam, gt):
+        # must be a single view: render it to prove the camera is consumable
+        img, _ = jax.jit(render, static_argnums=2)(state.params, cam, cfg.raster)
+        assert img.shape == gt.shape
+        snaps.append(iteration)
+
+    st = trainer.train_loop(
+        st, cams, gts, cfg, scene_extent=5.0, num_epochs=6,
+        batch_views=2, log_fn=logs.append, snapshot_fn=snapshot_fn,
+        adaptive_pairs=True, adapt_interval=1, min_pair_capacity=256,
+    )
+    # 3 views / batch 2 -> 2 steps per epoch
+    assert int(st.opt.t) == 12
+    assert any("densify" in l for l in logs), logs
+    assert any("opacity reset" in l for l in logs), logs
+    assert snaps == [4, 8, 12]
+    alive = np.asarray(st.params.alive)
+    n = alive.sum()
+    assert alive[:n].all() and not alive[n:].any()
+
+
 def test_adaptive_pair_capacity_grows_out_of_overflow(rng):
     """Starting below the live pair count, the loop doubles capacity until
     pairs fit (power-of-two buckets, bounded by the configured maximum)."""

@@ -78,8 +78,13 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
                 loss_fn, argnums=(0, 1), has_aux=True
             )(trainable, vs_zero)
 
-            # complete the per-device partial parameter gradients over ICI
-            grads = jax.lax.psum(grads, TILE_AXIS)
+            # complete the per-device partial parameter gradients over ICI —
+            # one psum PER PARAMETER GROUP (SURVEY.md §7.5.6): issuing the
+            # collectives separately lets the XLA scheduler start each group's
+            # all-reduce as soon as its cotangent is available instead of
+            # waiting for the full backward (the reference has no analog; the
+            # overlap itself needs a real pod slice to observe)
+            grads = {f: jax.lax.psum(grads[f], TILE_AXIS) for f in sorted(grads)}
             vs_grad = jax.lax.psum(vs_grad, TILE_AXIS)
             num_pairs = jax.lax.psum(aux.num_pairs, TILE_AXIS)
             overflow = jax.lax.psum(aux.overflow.astype(jnp.int32), TILE_AXIS) > 0

@@ -1,0 +1,150 @@
+"""Index-op microbenchmarks on the live chip — the cost model behind the
+rasterizer's design choices (docs/DESIGN.md "Where the remaining time goes").
+
+Each case is a self-contained jitted loop timed with loop_time_ms (fori-loop
+differencing; wall-clocking a single dispatch lies under the tunnel's ~100 ms
+round-trip).  Run:  python tools/microbench.py [--cases a,b,c] [--m 2097152]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=1 << 21, help="pair-scale index count")
+    ap.add_argument("--n", type=int, default=1 << 17, help="gaussian-scale table rows")
+    ap.add_argument("--cases", default="")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiansplatting_tpu.utils.profiling import loop_time_ms
+
+    m, n = args.m, args.n
+    rng = np.random.default_rng(0)
+    idx_rand = jnp.asarray(rng.integers(0, n, m), jnp.int32)
+    idx_sorted = jnp.sort(idx_rand)
+    perm = jnp.asarray(rng.permutation(m), jnp.int32)
+    table4 = jnp.asarray(rng.standard_normal((n, 4)), jnp.float32)
+    table16 = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    big1 = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    big9 = jnp.asarray(rng.standard_normal((m, 9)), jnp.float32)
+    big16 = jnp.asarray(rng.standard_normal((m, 16)), jnp.float32)
+    keys = jnp.asarray(rng.integers(0, 2000, m), jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(m), jnp.float32)
+
+    def tick(x):
+        return (jnp.sum(x) * 1e-20).astype(jnp.float32)
+
+    cases = {}
+
+    def case(name):
+        def deco(fn):
+            cases[name] = fn
+            return fn
+        return deco
+
+    # ---- gathers ----
+    @case("gather_flat_m")
+    def _(c):
+        return c + tick(big1[(idx_rand + c.astype(jnp.int32)) % n])
+
+    @case("gather_rows4_m")
+    def _(c):
+        return c + tick(table4[(idx_rand + c.astype(jnp.int32)) % n])
+
+    @case("gather_rows16_m")
+    def _(c):
+        return c + tick(table16[(idx_rand + c.astype(jnp.int32)) % n])
+
+    @case("gather_rows16_sorted_m")
+    def _(c):
+        return c + tick(table16[jnp.minimum(idx_sorted + c.astype(jnp.int32), n - 1)])
+
+    @case("gather_perm_rows16")  # permutation of an m-row array (sorted-order materialize)
+    def _(c):
+        return c + tick(big16[(perm + c.astype(jnp.int32)) % m])
+
+    # ---- scatters ----
+    @case("scatter_add_rows9_m")
+    def _(c):
+        out = jnp.zeros((n, 9), jnp.float32).at[(idx_rand + c.astype(jnp.int32)) % n].add(big9)
+        return c + tick(out)
+
+    @case("scatter_add_rows9_sorted_m")
+    def _(c):
+        out = jnp.zeros((n, 9), jnp.float32).at[jnp.minimum(idx_sorted + c.astype(jnp.int32), n - 1)].add(big9)
+        return c + tick(out)
+
+    @case("segment_sum_rows9_sorted")
+    def _(c):
+        out = jax.ops.segment_sum(
+            big9 * (1.0 + c * 0), idx_sorted, num_segments=n,
+            indices_are_sorted=True,
+        )
+        return c + tick(out)
+
+    @case("scatter_set_int_m")  # inverse-permutation build
+    def _(c):
+        out = jnp.zeros((m,), jnp.int32).at[(perm + c.astype(jnp.int32)) % m].set(
+            jnp.arange(m, dtype=jnp.int32)
+        )
+        return c + tick(out.astype(jnp.float32))
+
+    # ---- sorts ----
+    @case("sort_2op")
+    def _(c):
+        k = keys + c.astype(jnp.int32)
+        s = jax.lax.sort((k, vals), num_keys=1)
+        return c + tick(s[1])
+
+    @case("sort_4op")
+    def _(c):
+        k = keys + c.astype(jnp.int32)
+        s = jax.lax.sort((k, vals, vals, vals), num_keys=1)
+        return c + tick(s[1])
+
+    @case("sort_12op")
+    def _(c):
+        k = keys + c.astype(jnp.int32)
+        ops = (k,) + tuple(big16[:, i] for i in range(11))
+        s = jax.lax.sort(ops, num_keys=1)
+        return c + tick(s[1])
+
+    @case("sort_gauss_scale")  # per-frame depth sort of gaussians (n rows)
+    def _(c):
+        k = table16[:, 0] + c
+        s = jax.lax.sort((k, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        return c + tick(s[1].astype(jnp.float32))
+
+    # ---- prefix ops ----
+    @case("cumsum_m")
+    def _(c):
+        return c + tick(jnp.cumsum(big1 + c))
+
+    @case("cumsum_rows9_m")
+    def _(c):
+        return c + tick(jnp.cumsum(big9 + c, axis=0))
+
+    @case("cummax_m")
+    def _(c):
+        return c + tick(jax.lax.cummax(big1 + c))
+
+    sel = args.cases.split(",") if args.cases else list(cases)
+    results = {}
+    for name in sel:
+        ms = loop_time_ms(cases[name], (jnp.float32(0.0),), k_large=16, repeats=2)
+        results[name] = round(ms, 3)
+        print(json.dumps({"case": name, "ms": results[name]}), flush=True)
+    print(json.dumps({"m": m, "n": n, "results": results,
+                      "device": str(jax.devices()[0])}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

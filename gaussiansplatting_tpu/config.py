@@ -35,6 +35,13 @@ class RasterConfig(_Replaceable):
     alpha_cap: float = 0.99        # alpha = min(opacity*G, 0.99) (tiled_shaders.metal:363)
     alpha_floor: float = 1.0 / 255.0   # skip alpha < 1/255 (tiled_shaders.metal:366)
     transmittance_floor: float = 1e-4  # terminate when T <= 1e-4 (tiled_shaders.metal:334)
+    # Exact early-termination parity mode: zero every pair whose incoming
+    # transmittance is <= transmittance_floor and freeze T for the background
+    # composite, exactly like the reference's per-pixel loop exit
+    # (tiled_shaders.metal:334 `T > 0.0001h` checked before each pair).  The
+    # unmasked prefix transmittance is monotone decreasing, so the mask is
+    # exact without iteration; costs a second blend pass (opt-in).
+    t_floor_exact: bool = False
     raw_opacity_clamp: float = 8.0     # raw opacity clamp +/-8 (tiled_shaders.metal:293)
     pair_min_opacity: float = 0.005    # GPU_MIN_OPACITY pairgen skip (tiled_shaders.metal:742)
     max_tiles_per_gaussian: int = 256  # GPU_MAX_TILES_PER_GAUSSIAN (tiled_shaders.metal:743)

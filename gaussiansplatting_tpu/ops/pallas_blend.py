@@ -127,6 +127,88 @@ def _bwd_kernel(coef_ref, op_ref, col_ref, feats_ref, g_ref,
         )                                     # [4, B]
 
 
+def _fwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, out_ref,
+                   *, cfg_consts):
+    """T-floor forward: pairs whose incoming global transmittance is below
+    the floor contribute nothing and stop updating T, matching the
+    reference's per-pixel loop exit (tiled_shaders.metal:334).  The mask is
+    exact because the unmasked prefix transmittance only decreases."""
+    _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
+    feats = feats_ref[:]
+    b = op_ref.shape[-1]
+    tril = _tri_lower(b)
+    for i in range(GROUP):
+        _, _, a, l, _ = _replay(
+            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
+        )
+        cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+        log_excl = cum_incl - l
+        # global exclusive transmittance; termination is monotone so the
+        # mask needs no iteration
+        mask_t = (log_excl + logti_ref[i][:, None]) > log_thr
+        w = jnp.where(mask_t, a * jnp.exp(log_excl), 0.0)
+        cbt = jax.lax.dot_general(
+            col_ref[i], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s_b = jnp.sum(jnp.where(mask_t, l, 0.0), axis=-1)  # frozen-T product
+        row = jax.lax.broadcasted_iota(jnp.int32, cbt.shape, 0)
+        out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
+
+
+def _bwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, g_ref,
+                   dcoef_ref, dop_ref, dcol_ref, *, cfg_consts):
+    """T-floor replay backward: the termination mask is treated as a
+    constant (the reference accumulates no gradients past lastContribIdx,
+    tiled_shaders.metal:449-460)."""
+    _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
+    feats = feats_ref[:]
+    b = op_ref.shape[-1]
+    tril = _tri_lower(b)
+    triu = _tri_upper_strict(b)
+    for i in range(GROUP):
+        power, a_raw, a, l, mask = _replay(
+            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
+        )
+        cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+        mask_t = (cum_incl - l + logti_ref[i][:, None]) > log_thr
+        # survivors' prefixes only contain survivors, so masking alpha
+        # leaves their t/w unchanged while zeroing terminated pairs
+        a = jnp.where(mask_t, a, 0.0)
+        l = jnp.where(mask_t, l, 0.0)
+        cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+        t = jnp.exp(cum_incl - l)
+        w = a * t
+
+        g = g_ref[i]
+        row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        g_c = jnp.where(row == 3, 0.0, g)
+        g_s = g[3, :]
+
+        e = jax.lax.dot_general(
+            g_c, col_ref[i], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ew = e * w
+        # s_b only sums surviving pairs' log1m -> g_s reaches them alone
+        dl = jnp.dot(ew, triu, preferred_element_type=jnp.float32) + jnp.where(
+            mask_t, g_s[:, None], 0.0
+        )
+        da = e * t - dl / (1.0 - a)
+        live = mask & mask_t
+        dpow = jnp.where(live, da * a_raw, 0.0)
+
+        dcoef_ref[i] = jax.lax.dot_general(
+            feats, dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dop_ref[i] = jnp.sum(jnp.where(live, da * jnp.exp(power), 0.0), axis=0)
+        dcol_ref[i] = jax.lax.dot_general(
+            g_c, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _pad_groups(x, nb_pad):
     return jnp.pad(x, [(0, nb_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
 
@@ -219,3 +301,37 @@ def _bwd(cfg_consts, residuals, g):
 
 
 block_blend_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def block_blend_pallas_tf(coef, opacity, color, logti, cfg_consts):
+    """Exact-T-floor blend (RasterConfig.t_floor_exact).  Same contract as
+    block_blend_pallas plus logti [NB, P2]: each block's incoming log
+    transmittance (from the unmasked segmented prefix).  cfg_consts is
+    (tile_size, power_floor, alpha_cap, alpha_floor, log_t_floor).  The
+    termination mask is constant w.r.t. gradients (reference parity), so
+    logti receives a zero cotangent."""
+    out, _ = _fwd_tf(coef, opacity, color, logti, cfg_consts)
+    return out
+
+
+def _fwd_tf(coef, opacity, color, logti, cfg_consts):
+    nb, _, b = coef.shape
+    p2 = int(cfg_consts[0]) ** 2
+    (out,) = _call(
+        _fwd_kernel_tf, coef, opacity, color, [logti], [(nb, 4, p2)], cfg_consts
+    )
+    return out, (coef, opacity, color, logti)
+
+
+def _bwd_tf(cfg_consts, residuals, g):
+    coef, opacity, color, logti = residuals
+    nb, _, b = coef.shape
+    dcoef, dop, dcol = _call(
+        _bwd_kernel_tf, coef, opacity, color, [logti, g],
+        [(nb, 8, b), (nb, b), (nb, 4, b)], cfg_consts,
+    )
+    return dcoef, dop, dcol, jnp.zeros_like(logti)
+
+
+block_blend_pallas_tf.defvjp(_fwd_tf, _bwd_tf)

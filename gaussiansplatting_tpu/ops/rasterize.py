@@ -32,6 +32,7 @@ identical to the reference's per-pixel evaluation error profile.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -146,6 +147,7 @@ def _block_blend(
     valid: jnp.ndarray,    # [blocks, B]
     feats: jnp.ndarray,    # [P2, 6] pixel monomials (P2 = tile_size^2)
     cfg: RasterConfig,
+    logti: jnp.ndarray | None = None,  # [blocks, P2] incoming log T (t-floor)
 ):
     """Blend each block independently; returns per-block summaries
     (C_b [blocks, P2, 3], S_b [blocks, P2])."""
@@ -173,6 +175,19 @@ def _block_blend(
         & (alpha >= cfg.alpha_floor)               # skip alpha < 1/255
     )
     alpha = jnp.where(mask, alpha, 0.0)
+
+    if logti is not None:
+        # exact early-termination parity (tiled_shaders.metal:334): zero
+        # pairs whose incoming global transmittance fell below the floor;
+        # survivors' prefixes only contain survivors, so their weights are
+        # unchanged.  The mask is constant w.r.t. gradients.
+        l0 = jnp.log1p(-alpha)
+        log_excl = jnp.cumsum(l0, axis=-1) - l0
+        mask_t = jax.lax.stop_gradient(
+            (log_excl + logti[:, :, None])
+            > jnp.log(cfg.transmittance_floor)
+        )
+        alpha = jnp.where(mask_t, alpha, 0.0)
 
     log1m = jnp.log1p(-alpha)                      # >= log(0.01), finite
     t_local = jnp.exp(jnp.cumsum(log1m, axis=-1) - log1m)  # exclusive prefix
@@ -267,7 +282,9 @@ def render(
     if use_pallas:
         # Fused Pallas kernels (forward + hand-derived replay backward);
         # see ops/pallas_blend.py.
-        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_pallas
+        from gaussiansplatting_tpu.ops.pallas_blend import (
+            block_blend_pallas, block_blend_pallas_tf,
+        )
 
         coef = _quad_coefs(mu, b_conic)                      # [NB, B, 6]
         coef8 = jnp.pad(coef.transpose(0, 2, 1), ((0, 0), (0, 2), (0, 0)))
@@ -282,6 +299,14 @@ def render(
         )                                                    # [NB, 4, P2]
         c_b = out[:, :3, :].transpose(0, 2, 1)
         s_b = out[:, 3, :]
+
+        def blend_tfloor(logti):
+            out = block_blend_pallas_tf(
+                coef8, op_eff, color4, logti,
+                (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor,
+                 math.log(cfg.transmittance_floor)),
+            )
+            return out[:, :3, :].transpose(0, 2, 1), out[:, 3, :]
     else:
         # XLA fallback: chunked scan; jax.checkpoint re-materializes block
         # internals in backward = the transmittance replay.
@@ -293,17 +318,34 @@ def render(
             pad = [(0, nb_pad - num_blocks)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, pad)
 
+        def chunk(x):
+            return pad_blocks(x).reshape((n_chunks, chunk_blocks) + x.shape[1:])
+
         def chunk_fn(_, args):
             c_b, s_b = _block_blend(*args, feats, cfg)
             return None, (c_b, s_b)
 
         chunked = jax.tree_util.tree_map(
-            lambda x: pad_blocks(x).reshape((n_chunks, chunk_blocks) + x.shape[1:]),
-            (mu, b_conic, b_opacity, b_color, pair_valid),
+            chunk, (mu, b_conic, b_opacity, b_color, pair_valid)
         )
         _, (c_b, s_b) = jax.lax.scan(jax.checkpoint(chunk_fn), None, chunked)
         c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks]
         s_b = s_b.reshape(nb_pad, p2)[:num_blocks]
+
+        def blend_tfloor(logti):
+            def chunk_fn_tf(_, args):
+                *blend_args, lt = args
+                c_b, s_b = _block_blend(*blend_args, feats, cfg, logti=lt)
+                return None, (c_b, s_b)
+
+            chunked_tf = jax.tree_util.tree_map(
+                chunk, (mu, b_conic, b_opacity, b_color, pair_valid, logti)
+            )
+            _, (c2, s2) = jax.lax.scan(jax.checkpoint(chunk_fn_tf), None, chunked_tf)
+            return (
+                c2.reshape(nb_pad, p2, 3)[:num_blocks],
+                s2.reshape(nb_pad, p2)[:num_blocks],
+            )
 
     # ---- compose blocks within each tile: segmented exclusive prefix of S ----
     seg = pair_blocks.block_tile  # [NB], == num_tiles_total for padding blocks
@@ -318,9 +360,23 @@ def render(
     base = cum_excl[first_block[jnp.minimum(seg, num_tiles_total)]]  # [NB, P2]
     t_in = jnp.exp(cum_excl - base)
 
+    if cfg.t_floor_exact:
+        # second pass with the per-block incoming log-transmittance: pairs
+        # past the per-pixel termination point are zeroed and T freezes for
+        # the background, exactly like tiled_shaders.metal:334.  The mask is
+        # constant w.r.t. gradients (reference parity), hence stop_gradient;
+        # t_in itself stays differentiable below.
+        logti = jax.lax.stop_gradient(cum_excl - base)
+        c_b, s_b_masked = blend_tfloor(logti)
+        tile_log_t_src = s_b_masked
+    else:
+        tile_log_t_src = s_b
+
     contrib = t_in[..., None] * c_b  # [NB, P2, 3]
     tile_color = jax.ops.segment_sum(contrib, seg, num_segments=num_tiles_total + 1)
-    tile_log_t = jax.ops.segment_sum(s_b, seg, num_segments=num_tiles_total + 1)
+    tile_log_t = jax.ops.segment_sum(
+        tile_log_t_src, seg, num_segments=num_tiles_total + 1
+    )
     tile_color = tile_color[:num_tiles_total]
     tile_log_t = tile_log_t[:num_tiles_total]
 

@@ -83,6 +83,66 @@ def test_forward_image_matches_oracle(small_scene):
     assert err.mean() < 2e-4
 
 
+def test_forward_tfloor_exact_tightens_parity(rng):
+    """With t_floor_exact the renderer reproduces the oracle's per-pixel
+    early termination (tiled_shaders.metal:334) and parity tightens from
+    the ~5e-3 termination gap to fp32 noise.  Uses the dense-overlap scene
+    where transmittance actually crosses the 1e-4 floor."""
+    means, log_scales, quats, raw_op, sh_dc = make_scene(rng, n=256, spread=0.15)
+    raw_op = raw_op + 4.0  # near-opaque so T crosses the 1e-4 floor
+    scene = (means, log_scales, quats, raw_op, sh_dc)
+    cam = make_camera_for_scene(width=32, height=32)
+    params = _params_from_scene(scene)
+    ref = render_reference(
+        means, log_scales, quats, raw_op, sh_dc,
+        np.asarray(cam.view, np.float64), np.asarray(cam.viewproj, np.float64),
+        float(cam.fx), float(cam.fy), cam.width, cam.height,
+    )
+
+    img = None
+    for impl in ("xla", "pallas"):
+        cfg = RasterConfig(
+            pair_capacity=4096, pair_block=16, t_floor_exact=True,
+            blend_impl=impl,
+        )
+        img, _ = jax.jit(render, static_argnums=(2,))(params, cam, cfg)
+        err = np.abs(np.asarray(img) - ref)
+        assert err.max() < 1e-5, f"{impl}: max pixel err {err.max()}"
+
+    # termination must actually trigger somewhere for the test to mean much
+    # (the bound without the floor is ~1e-4: the skipped tail sums to <= T_stop)
+    cfg_off = RasterConfig(pair_capacity=4096, pair_block=16)
+    img_off, _ = jax.jit(render, static_argnums=(2,))(params, cam, cfg_off)
+    assert np.abs(np.asarray(img_off) - np.asarray(img)).max() > 1e-5
+
+
+def test_tfloor_gradients_match_between_impls(rng):
+    """The hand-derived Pallas t-floor backward agrees with autodiff through
+    the XLA t-floor path (both treat the termination mask as constant)."""
+    scene = make_scene(rng, n=96, spread=0.2)
+    cam = make_camera_for_scene(width=32, height=32)
+    params = _params_from_scene(scene)
+
+    fields = ("means", "log_scales", "quats", "raw_opacities", "sh")
+
+    def loss(trainable, impl):
+        cfg = RasterConfig(
+            pair_capacity=2048, pair_block=16, t_floor_exact=True,
+            blend_impl=impl,
+        )
+        img, _ = render(params.replace(**trainable), cam, cfg)
+        return jnp.sum(img * jnp.cos(jnp.arange(img.size).reshape(img.shape)))
+
+    trainable = {f: getattr(params, f) for f in fields}
+    g_x = jax.grad(lambda t: loss(t, "xla"))(trainable)
+    g_p = jax.grad(lambda t: loss(t, "pallas"))(trainable)
+    for f in fields:
+        np.testing.assert_allclose(
+            np.asarray(g_x[f]), np.asarray(g_p[f]),
+            rtol=5e-3, atol=1e-5, err_msg=f,
+        )
+
+
 def test_forward_dense_overlap(rng):
     """Heavy overdraw: many gaussians stacked on one tile exercises multi-block
     composition within a tile."""

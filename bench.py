@@ -4,12 +4,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md); vs_baseline is measured
-against BASELINE_ITERS_PER_SEC, a conservative estimate of the reference
-Metal trainer's full-step rate at this scale (its per-step pipeline takes
->=6 blocking GPU command buffers plus a CPU radix sort of ~1M pairs per
-frame, SURVEY.md §3.2 — well under 10 steps/s on Apple silicon at 100k
-Gaussians / 800x600).
+The headline value is the MEDIAN of several timing windows (the tunneled
+chip is shared and throttles; the best window and all windows are reported
+in detail).  vs_baseline divides by BASELINE_ITERS_PER_SEC.
+
+Baseline anchor: the reference itself publishes no numbers (BASELINE.md).
+Two triangulation points for its full train step at 100k Gaussians /
+~0.49 Mpix:
+  * Official 3DGS (Kerbl et al. 2023, Table 1) trains garden for 30k iters
+    in ~36 min on an RTX A6000 at 1297x840 (~1.09 Mpix) with N growing to
+    millions — ~14 iters/s, i.e. ~15 Mpix/s of train throughput on a
+    ~310 W / 768 GB/s GPU.  Scaled to this workload's 0.49 Mpix that is
+    ~31 iters/s — but on hardware with ~4x an Apple M-chip's bandwidth and
+    far more compute.
+  * The reference's own pipeline is structurally slower than official 3DGS
+    (>=6 blocking command buffers per step plus a CPU 8-thread radix sort
+    of ~1-2M pairs per frame, tiled_rasterizer.mm:27-102 & SURVEY.md §3.2).
+10 iters/s = official-3DGS throughput scaled by ~1/3 for Apple-silicon
+bandwidth/compute, i.e. a deliberately generous estimate of the Metal
+trainer this framework must beat at equal workload on one TPU v5e chip.
 """
 
 from __future__ import annotations
@@ -49,32 +62,59 @@ def main() -> None:
     st, metrics = train_step(st, camera, gt, cfg, 30_000)
     jax.block_until_ready(st)
 
-    # The tunneled chip is shared: run several windows and report the best
-    # (closest to the hardware's own rate) with the median for context.
     windows = []
-    for _ in range(4):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(steps):
             st, metrics = train_step(st, camera, gt, cfg, 30_000)
         jax.block_until_ready(st)
         windows.append(steps / (time.perf_counter() - t0))
 
-    iters_per_sec = max(windows)
-    median_ips = sorted(windows)[len(windows) // 2]
-    mpix_per_sec = iters_per_sec * width * height / 1e6
+    # headline = median (robust to the shared chip's throttling dips);
+    # best-of-N reported as detail (closest to the hardware's own rate)
+    srt = sorted(windows)
+    median_ips = srt[len(srt) // 2]
+    best_ips = srt[-1]
+    mpix_per_sec = median_ips * width * height / 1e6
+
+    # per-stage split (the reference's per-100-frame stage printout,
+    # tiled_rasterizer.mm:639-671): cumulative stages measured with the same
+    # fori-loop differencing as tools/profile.py
+    stages = {}
+    if not small and not bool(int(os.environ.get("GS_BENCH_NO_STAGES", "0"))):
+        from gaussiansplatting_tpu.tools.profile import stage_times
+
+        # pairs pipeline / +blend / full step (cumulative); loss ~= step-fwd
+        # residual.  train_step reuses the already-compiled program above.
+        stages = stage_times(
+            n=n_gauss, width=width, height=height,
+            pair_capacity=pair_cap, pair_block=128,
+            names=("project_pairs", "forward", "train_step"),
+        )
+
     print(
         json.dumps(
             {
                 "metric": f"train_step_iters_per_sec_{n_gauss // 1000}k_{width}x{height}",
-                "value": round(iters_per_sec, 3),
+                "value": round(median_ips, 3),
                 "unit": "iters/s",
-                "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+                "vs_baseline": round(median_ips / BASELINE_ITERS_PER_SEC, 3),
                 "detail": {
                     "n_gaussians": n_gauss,
                     "resolution": [width, height],
                     "train_mpix_per_sec": round(mpix_per_sec, 2),
-                    "median_iters_per_sec": round(median_ips, 3),
+                    "best_iters_per_sec": round(best_ips, 3),
+                    "windows": [round(w, 3) for w in windows],
                     "num_pairs": int(metrics.num_pairs),
+                    "stages_ms_cumulative": {
+                        k: round(v, 2) for k, v in stages.items()
+                    },
+                    "baseline_anchor": (
+                        "10 iters/s: official-3DGS A6000 rate (~14 it/s @ "
+                        "1.09 Mpix = ~31 it/s @ this 0.49 Mpix) scaled ~1/3 "
+                        "for the Metal reference's Apple-silicon target; see "
+                        "bench.py docstring"
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -12,20 +12,18 @@ import argparse
 import json
 
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--n", type=int, default=100_000)
-    p.add_argument("--width", type=int, default=800)
-    p.add_argument("--height", type=int, default=608)
-    p.add_argument("--pair-capacity", type=int, default=1 << 21)
-    p.add_argument("--pair-block", type=int, default=128)
-    p.add_argument(
-        "--stages",
-        default="project,project_pairs,forward,forward_loss,forward_backward,train_step",
-        help="comma-separated subset (each stage costs one ~minutes-long compile)",
-    )
-    args = p.parse_args(argv)
-
+def stage_times(
+    n: int = 100_000,
+    width: int = 800,
+    height: int = 608,
+    pair_capacity: int = 1 << 21,
+    pair_block: int = 128,
+    names=("project", "project_pairs", "forward", "forward_loss",
+           "forward_backward", "train_step"),
+    emit=None,
+) -> dict:
+    """Measure cumulative per-stage ms on a synthetic scene; returns
+    {stage: ms}.  Each stage costs one (possibly minutes-long) compile."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -42,18 +40,18 @@ def main(argv=None) -> int:
 
     cfg = Config(
         raster=RasterConfig(
-            pair_capacity=args.pair_capacity, pair_block=args.pair_block
+            pair_capacity=pair_capacity, pair_block=pair_block
         )
     )
     rc = cfg.raster
-    params = synthetic.make_scene(n=args.n, seed=0)
-    cam = synthetic.make_canonical_camera(args.width, args.height)
+    params = synthetic.make_scene(n=n, seed=0)
+    cam = synthetic.make_canonical_camera(width, height)
     gt = jnp.asarray(
-        np.random.default_rng(1).uniform(0, 1, (args.height, args.width, 3)),
+        np.random.default_rng(1).uniform(0, 1, (height, width, 3)),
         jnp.float32,
     )
-    tiles_x = proj_mod.num_tiles(args.width, rc.tile_size)
-    tiles_y = proj_mod.num_tiles(args.height, rc.tile_size)
+    tiles_x = proj_mod.num_tiles(width, rc.tile_size)
+    tiles_y = proj_mod.num_tiles(height, rc.tile_size)
 
     # Every staged fn maps means->means so it can loop; the stage output is
     # folded back into the carry to keep the whole loop body live.
@@ -97,10 +95,38 @@ def main(argv=None) -> int:
         "train_step": (st_step, state_mod.create(params), 6),
     }
     results = {}
-    for name in args.stages.split(","):
+    for name in names:
         fn, arg0, k_large = stage_fns[name]
         results[name] = loop_time_ms(fn, (arg0,), k_large=k_large, repeats=2)
-        print(json.dumps({"stage": name, "ms": round(results[name], 2)}), flush=True)
+        if emit:
+            emit(name, results[name])
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=608)
+    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--pair-block", type=int, default=128)
+    p.add_argument(
+        "--stages",
+        default="project,project_pairs,forward,forward_loss,forward_backward,train_step",
+        help="comma-separated subset (each stage costs one ~minutes-long compile)",
+    )
+    args = p.parse_args(argv)
+
+    import jax
+
+    results = stage_times(
+        n=args.n, width=args.width, height=args.height,
+        pair_capacity=args.pair_capacity, pair_block=args.pair_block,
+        names=tuple(args.stages.split(",")),
+        emit=lambda name, ms: print(
+            json.dumps({"stage": name, "ms": round(ms, 2)}), flush=True
+        ),
+    )
     print(json.dumps({"stages_ms": {k: round(v, 2) for k, v in results.items()},
                       "device": str(jax.devices()[0])}))
     return 0

@@ -135,6 +135,49 @@ def main(argv=None) -> int:
     def _(c):
         return c + tick(jax.lax.cummax(big1 + c))
 
+    # ---- round-2 design probes ----
+    @case("scatter_set_rows16_unique")  # aligned-layout build by scatter
+    def _(c):
+        out = jnp.full((m + m // 8, 16), -1.0, jnp.float32).at[
+            (perm + c.astype(jnp.int32)) % m
+        ].set(big16)
+        return c + tick(out)
+
+    @case("scatter_set_rows9_unique")
+    def _(c):
+        out = jnp.zeros((m + 1, 9), jnp.float32).at[
+            (perm + c.astype(jnp.int32)) % m
+        ].set(big9)
+        return c + tick(out)
+
+    @case("sort_2key_12payload")  # the fat pair sort (tile, depth keys)
+    def _(c):
+        k1 = keys + c.astype(jnp.int32)
+        ops = (k1, vals, idx_rand) + tuple(big16[:, i] for i in range(9))
+        s = jax.lax.sort(ops, num_keys=2)
+        return c + tick(s[3])
+
+    @case("gather_small_src_n_idx")  # prefix-diff endpoints: n idx from [m,9]
+    def _(c):
+        srcs = jnp.cumsum(big9, axis=0)
+        i = (idx_rand[: args.n] * 16 + c.astype(jnp.int32)) % m
+        return c + tick(srcs[i])
+
+    @case("gather_rows12_windows")  # aligned-layout build: piecewise-
+    def _(c):                       # consecutive windows from a big source
+        # indices: consecutive runs of 128 with random jumps between runs
+        starts = (idx_rand[: m // 128] % jnp.int32(m - 128)).astype(jnp.int32)
+        win = starts[:, None] + jnp.arange(128, dtype=jnp.int32)[None, :]
+        i = (win.reshape(-1) + c.astype(jnp.int32)) % m
+        return c + tick(big16[:, :12][i])
+
+    @case("sort_2op_3m")  # sort scaling to 3.2M (dense two-tier expansion)
+    def _(c):
+        k = jnp.tile(keys, 2)[: 3 * m // 2] + c.astype(jnp.int32)
+        v = jnp.tile(vals, 2)[: 3 * m // 2]
+        s = jax.lax.sort((k, v), num_keys=1)
+        return c + tick(s[1])
+
     sel = args.cases.split(",") if args.cases else list(cases)
     results = {}
     for name in sel:

@@ -56,12 +56,13 @@ class RasterConfig(_Replaceable):
     # elsewhere; "pallas" forces the kernels (interpret mode off-TPU);
     # "xla" forces the checkpointed-scan fallback.
     blend_impl: str = "auto"
-    # Per-Gaussian gradient reduction: "scatter" = XLA gather transpose
-    # (default: measured faster on v5e, and supports forward-mode autodiff);
-    # "prefix" = scatter-free run-prefix custom VJP (deterministic order,
-    # reverse-mode only; the extra sort operand + inverse-map + [2M, 9]
-    # cumsum cost more than the duplicate-index scatter-add it removes).
-    grad_reduce: str = "scatter"
+    # Per-Gaussian gradient reduction (ops/pairs._pair_rows_bwd):
+    # "sortprefix" = sort cotangents by Gaussian id, then prefix-sum
+    # differences over the contiguous runs (~9 ms at 2M pairs on v5e);
+    # "scatter" = one fused duplicate-index scatter-add (~30 ms, kept as the
+    # numerically boring fallback).  Both are deterministic, unlike the
+    # reference's relaxed float atomics.
+    grad_reduce: str = "sortprefix"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,16 +4,27 @@ The reference generates pairs with a dynamic atomic write cursor
 (generateTilePairs, tiled_shaders.metal:745-794), sorts 64-bit keys on the CPU
 (tiled_rasterizer.mm:27-102) and binary-searches tile ranges
 (buildTileRanges, sort.metal:553-589).  None of that maps to TPU, so this
-module re-derives the same result functionally:
+module re-derives the same result functionally, shaped by the measured v5e
+cost model (tools/microbench.py, docs/DESIGN.md):
 
-  1. prefix-sum of per-Gaussian tile counts assigns each pair a slot,
-  2. one vectorized gather materializes (tile_id, depth, gaussian_id) for every
-     slot of a fixed-capacity pair array,
-  3. ``jax.lax.sort`` orders lexicographically by (tile_id, depth) — two 32-bit
-     keys instead of the reference's packed 64-bit key,
-  4. pairs are scattered into a *block-aligned* layout where every tile's run
-     is padded to a multiple of ``block`` pairs, so each block of the render
-     kernel touches exactly one tile.
+  * random gathers cost ~7-10 ns/index and row scatters are pathological,
+    but ``lax.sort`` is ~5 ms for 2M pairs REGARDLESS of payload width —
+    so per-pair render data (screen pos, conic, opacity, color) rides the
+    sort as payload operands instead of being re-gathered afterwards;
+  * the block-aligned layout (every tile's run padded to a multiple of
+    ``block`` so each render block touches one tile) is produced by a
+    SECOND sort: each pair's aligned destination is computed with a cummax
+    trick (no per-pair gathers), per-tile hole-filler elements are appended
+    whose keys are exactly the padding positions, and sorting by destination
+    materializes the aligned layout directly — no windowed gather
+    (~66 ms in XLA), no scatter;
+  * the whole pipeline is wrapped in one custom VJP: the backward maps
+    aligned-order cotangents to per-Gaussian sums either by a single fused
+    scatter-add (grad_reduce="scatter", ~30 ms at 2M) or by sorting the
+    cotangents by Gaussian id and taking prefix-sum differences over the
+    now-contiguous runs (grad_reduce="sortprefix", ~9 ms) — both
+    deterministic, unlike the reference's relaxed float atomics
+    (tiled_shaders.metal:698-736).
 
 Everything is static-shape; overflow beyond ``pair_capacity`` drops whole
 Gaussians exactly like the reference's bounds check
@@ -22,12 +33,19 @@ Gaussians exactly like the reference's bounds check
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from gaussiansplatting_tpu.ops.projection import Projected
+
+
+def _float0(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
 
 
 def _run_ids(starts: jnp.ndarray, run_live: jnp.ndarray, num_slots: int) -> jnp.ndarray:
@@ -45,36 +63,282 @@ def _run_ids(starts: jnp.ndarray, run_live: jnp.ndarray, num_slots: int) -> jnp.
     return jax.lax.cummax(seed)
 
 
-class PairBlocks(NamedTuple):
-    """Block-aligned sorted pairs.
+class PairRows(NamedTuple):
+    """Block-aligned sorted pairs with their render data.
 
-    gaussian_id: [num_blocks * block] int32, -1 for padding slots.
+    gaussian_id: [aligned_cap] int32, -1 for padding slots.
+    rows:        [D, aligned_cap] float32 per-pair data in aligned order
+                 (column-major: each field is one lane-contiguous row).
     block_tile:  [num_blocks] int32 tile id per block (num_tiles = padding).
     num_pairs:   [] int32, pairs actually emitted (diagnostics / overflow).
     overflow:    [] bool, capacity was exceeded (some Gaussians dropped).
-
-    Gradient-reduction index data (ops/rasterize.gather_pair_rows): in SLOT
-    order (pre-sort emission order) each Gaussian's pairs form one contiguous
-    run, so per-Gaussian gradient sums are prefix-sum differences — no
-    duplicate-index scatter-add anywhere in the backward pass.
-    inv_amap:    [pair_capacity] int32 slot -> aligned position (cap = none).
-    run_offsets: [N] int32 first slot of each Gaussian's run.
-    run_counts:  [N] int32 pairs emitted per Gaussian (0 = culled/dropped).
     """
 
     gaussian_id: jnp.ndarray
+    rows: jnp.ndarray
     block_tile: jnp.ndarray
     num_pairs: jnp.ndarray
     overflow: jnp.ndarray
-    inv_amap: jnp.ndarray
-    run_offsets: jnp.ndarray
-    run_counts: jnp.ndarray
 
 
 def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
     """Static capacity of the block-aligned array: every tile can waste at most
     block-1 slots of padding."""
     return pair_capacity + num_tiles * block
+
+
+def build_pair_rows(
+    proj: Projected,
+    data: jnp.ndarray,       # [N, D] differentiable per-Gaussian render data
+    tiles_x: int,
+    tiles_y: int,
+    pair_capacity: int,
+    block: int,
+    row0=0,
+    grad_reduce: str = "sortprefix",
+) -> PairRows:
+    """Expand, sort, and block-align pairs, carrying ``data`` to every pair.
+
+    ``tiles_y`` is the number of tile ROWS this call rasterizes and ``row0``
+    the first (absolute) tile row — used by the tile-sharded multi-chip path
+    where each device owns a horizontal strip.  Tile ids in the output are
+    strip-local.  The per-Gaussian cull decisions (including the 256-tile
+    cap) were made against the FULL image rect in projection, matching the
+    reference; only pair emission is restricted to the strip.
+
+    Differentiable in ``data`` only (the custom VJP reduces aligned-order
+    cotangents to per-Gaussian sums); everything else is index machinery.
+    """
+    n = proj.depth.shape[0]
+    row0 = jnp.asarray(row0, jnp.int32)
+
+    # intersect each Gaussian's tile rect with the strip's row range
+    ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
+    ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
+    span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
+    span_x = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+    counts = jnp.where(proj.n_tiles > 0, span_x * span_y, 0).astype(jnp.int32)
+    cum = jnp.cumsum(counts)                 # inclusive
+    offsets = cum - counts                   # exclusive
+    total = cum[-1] if n > 0 else jnp.int32(0)
+
+    # Capacity bound: drop Gaussians whose run would cross the end
+    # (reference: writePos + tileCount > maxPairs -> return).
+    fits = (offsets + counts) <= pair_capacity
+    counts = jnp.where(fits, counts, 0)
+    overflow = total > pair_capacity
+    cum = jnp.cumsum(counts)
+    offsets = cum - counts
+
+    cfg = (int(n), int(pair_capacity), int(tiles_x), int(tiles_y),
+           int(block), str(grad_reduce))
+    if grad_reduce == "autodiff":
+        # plain-ops path (no custom VJP): forward-mode differentiable, used
+        # by the JVP-vs-VJP AD consistency tests; its reverse-mode transpose
+        # is a chain of per-stage scatters — correct but slow
+        (gid_a, rows_a, block_tile, num_pairs), _ = _pair_rows_fwd(
+            data, proj.depth, row0, counts, offsets, ty_lo,
+            proj.tile_min[:, 0], span_x, cfg,
+        )
+    else:
+        gid_a, rows_a, block_tile, num_pairs = _pair_rows(
+            data, proj.depth, row0, counts, offsets, ty_lo,
+            proj.tile_min[:, 0], span_x, cfg,
+        )
+    return PairRows(
+        gaussian_id=gid_a,
+        rows=rows_a,
+        block_tile=block_tile,
+        num_pairs=num_pairs,
+        overflow=overflow,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _pair_rows(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg):
+    out, _ = _pair_rows_fwd(
+        data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg
+    )
+    return out
+
+
+def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg):
+    n, p_cap, tiles_x, tiles_y, block, _ = cfg
+    num_tiles = tiles_x * tiles_y
+    a_cap = aligned_capacity(p_cap, num_tiles, block)
+    num_blocks = a_cap // block
+    d = data.shape[-1]
+    i32max = jnp.int32(2**31 - 1)
+
+    # ---- expand: slot j belongs to the Gaussian whose run covers j ----
+    slots = jnp.arange(p_cap, dtype=jnp.int32)
+    total = jnp.minimum(
+        (offsets[-1] + counts[-1]) if n > 0 else jnp.int32(0), p_cap
+    )
+    gid = _run_ids(offsets, counts > 0, p_cap)
+    gid = jnp.clip(gid, 0, n - 1)
+    slot_valid = slots < total
+
+    # one row-gather fetches BOTH the rect metadata and the render data for
+    # each slot (row width is free at these sizes — the gather is
+    # latency-bound per index, tools/microbench.py)
+    table = jnp.concatenate(
+        [
+            offsets.astype(jnp.float32)[:, None],
+            span_x.astype(jnp.float32)[:, None],
+            ty_lo.astype(jnp.float32)[:, None],
+            tmin_x.astype(jnp.float32)[:, None],
+            depth[:, None],
+            data,
+        ],
+        axis=-1,
+    )  # [N, 5 + D]; integer fields exact in fp32 (all < 2^24)
+    rows = table[gid]  # [p_cap, 5 + D]
+    offset_g = rows[:, 0].astype(jnp.int32)
+    span_x_g = jnp.maximum(rows[:, 1].astype(jnp.int32), 1)
+    ty_lo_g = rows[:, 2].astype(jnp.int32)
+    tmin_x_g = rows[:, 3].astype(jnp.int32)
+    depth_s = jnp.where(slot_valid, rows[:, 4], jnp.inf)
+
+    rank = slots - offset_g
+    ty = ty_lo_g + rank // span_x_g
+    tx = tmin_x_g + rank % span_x_g
+    tile_id = jnp.where(
+        slot_valid, (ty - row0) * tiles_x + tx, num_tiles
+    ).astype(jnp.int32)
+    gid_v = jnp.where(slot_valid, gid, -1)
+
+    # ---- sort #1: lexicographic by (tile, depth); the render data rides as
+    #      payload operands (sort cost is ~independent of operand count) ----
+    ops = (tile_id, depth_s, gid_v) + tuple(rows[:, 5 + j] for j in range(d))
+    s = jax.lax.sort(ops, num_keys=2)
+    sorted_tile, sorted_gid = s[0], s[2]
+    sorted_data = s[3:]
+
+    # ---- per-tile runs: starts via searchsorted (num_tiles+1 queries is
+    #      cheap; per-PAIR queries would not be, see _run_ids) ----
+    q = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_starts_all = jnp.searchsorted(sorted_tile, q, side="left").astype(jnp.int32)
+    tile_starts = tile_starts_all[:num_tiles]
+    tile_counts = tile_starts_all[1:] - tile_starts
+    aligned_counts = -(-tile_counts // block) * block
+    aligned_cum = jnp.cumsum(aligned_counts)
+    aligned_starts = aligned_cum - aligned_counts
+    aligned_total = aligned_cum[-1] if num_tiles > 0 else jnp.int32(0)
+
+    # ---- aligned destination per sorted pair WITHOUT per-pair gathers:
+    #      apos = pos + shift[tile], and shift (cumulative padding inserted
+    #      before the tile) is non-decreasing over the sorted order, so a
+    #      tiny scatter at run starts + cummax broadcasts it ----
+    shift_t = aligned_starts - tile_starts          # [T] >= 0, non-decreasing
+    seed = jnp.zeros((p_cap,), jnp.int32).at[
+        jnp.where(tile_counts > 0, tile_starts, p_cap)
+    ].max(shift_t, mode="drop")
+    shift = jax.lax.cummax(seed)
+    pos = jnp.arange(p_cap, dtype=jnp.int32)
+    live = pos < total
+    apos = jnp.where(live, pos + shift, i32max)
+
+    # ---- hole fillers: tile t needs (aligned - count) pads at positions
+    #      [start + count, start + aligned_count) — at most block-1 each ----
+    pad_lane = jnp.arange(block - 1, dtype=jnp.int32)[None, :]
+    pad_apos = aligned_starts[:, None] + tile_counts[:, None] + pad_lane
+    pad_ok = pad_lane < (aligned_counts - tile_counts)[:, None]
+    pad_apos = jnp.where(pad_ok, pad_apos, i32max).reshape(-1)   # [T*(B-1)]
+    n_pad = pad_apos.shape[0]
+
+    # ---- sort #2 by destination: pairs land in their aligned slots, pads
+    #      fill the holes, everything else parks past aligned_total ----
+    key2 = jnp.concatenate([apos, pad_apos])
+    gid2 = jnp.concatenate([sorted_gid, jnp.full((n_pad,), -1, jnp.int32)])
+    ops2 = (key2, gid2) + tuple(
+        jnp.concatenate([col, jnp.zeros((n_pad,), col.dtype)])
+        for col in sorted_data
+    )
+    s2 = jax.lax.sort(ops2, num_keys=1)
+    l2 = key2.shape[0]
+
+    out_pos = jnp.arange(l2, dtype=jnp.int32)
+    in_aligned = out_pos < aligned_total
+    gid_aligned = jnp.where(in_aligned, s2[1], -1)
+    # COLUMN-major [D, l2]: stacking 1-D sort outputs along a NEW LEADING
+    # axis is a plain memcpy; stacking along the lane axis ([l2, D]) is a
+    # full relayout transpose that measures tens of ms at 2M pairs
+    rows_aligned = jnp.stack(s2[2:], axis=0)
+
+    pad_tail = a_cap - l2
+    if pad_tail > 0:
+        gid_aligned = jnp.concatenate(
+            [gid_aligned, jnp.full((pad_tail,), -1, jnp.int32)]
+        )
+        rows_aligned = jnp.concatenate(
+            [rows_aligned, jnp.zeros((d, pad_tail), rows_aligned.dtype)],
+            axis=1,
+        )
+    else:
+        gid_aligned = gid_aligned[:a_cap]
+        rows_aligned = rows_aligned[:, :a_cap]
+
+    # ---- tile id of each block (blocks never straddle tiles) ----
+    block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    block_tile = _run_ids(aligned_starts // block, aligned_counts > 0, num_blocks)
+    block_tile = jnp.where(
+        block_starts < aligned_total,
+        jnp.clip(block_tile, 0, num_tiles - 1),
+        num_tiles,
+    ).astype(jnp.int32)
+
+    out = (gid_aligned, rows_aligned, block_tile, total)
+    return out, (gid_aligned, counts)
+
+
+def _pair_rows_bwd(cfg, res, cts):
+    n, p_cap, tiles_x, tiles_y, block, grad_reduce = cfg
+    gid_aligned, counts = res
+    d_rows = cts[1]                                   # [D, a_cap]
+    d = d_rows.shape[0]
+    a_cap = d_rows.shape[1]
+
+    if grad_reduce == "scatter":
+        # one fused duplicate-index scatter-add (deterministic order under
+        # XLA — the reference uses relaxed float atomics here)
+        d_data = jnp.zeros((n, d), d_rows.dtype).at[
+            jnp.where(gid_aligned >= 0, gid_aligned, n)
+        ].add(d_rows.T, mode="drop")
+    else:
+        # sortprefix: sort cotangents by Gaussian id (sorts are cheap), then
+        # per-Gaussian sums are prefix-sum differences over contiguous runs.
+        # The columns stay 1-D throughout: one fused cumsum over the
+        # column-concatenated array works because a prefix DIFFERENCE within
+        # a column is unaffected by the constant carried in from earlier
+        # columns, and it avoids a [a_cap, D] lane-relayout.
+        key = jnp.where(gid_aligned >= 0, gid_aligned, n)
+        s = jax.lax.sort((key,) + tuple(d_rows[j] for j in range(d)),
+                         num_keys=1)
+        flat = jnp.concatenate(
+            [jnp.concatenate([jnp.zeros((1,), d_rows.dtype), s[1 + j]])
+             for j in range(d)]
+        )                                             # [D * (a_cap + 1)]
+        csum = jnp.cumsum(flat)
+        ends = jnp.cumsum(counts)                     # [N] run ends (1-based)
+        base = jnp.arange(d, dtype=jnp.int32)[:, None] * (a_cap + 1)
+        d_data = (csum[base + ends[None, :]]
+                  - csum[base + (ends - counts)[None, :]]).T
+
+    zero_i32 = lambda shape: _float0(jnp.zeros(shape, jnp.int32))  # noqa: E731
+    return (
+        d_data,
+        jnp.zeros((n,), jnp.float32),   # depth (sort keys carry no gradient)
+        _float0(jnp.zeros((), jnp.int32)),   # row0
+        zero_i32((n,)),                 # counts
+        zero_i32((n,)),                 # offsets
+        zero_i32((n,)),                 # ty_lo
+        zero_i32((n,)),                 # tmin_x
+        zero_i32((n,)),                 # span_x
+    )
+
+
+_pair_rows.defvjp(_pair_rows_fwd, _pair_rows_bwd)
 
 
 def build_pairs(
@@ -84,149 +348,10 @@ def build_pairs(
     pair_capacity: int,
     block: int,
     row0=0,
-    compute_inverse: bool = False,
-) -> PairBlocks:
-    """``tiles_y`` is the number of tile ROWS this call rasterizes and ``row0``
-    the first (absolute) tile row — used by the tile-sharded multi-chip path
-    where each device owns a horizontal strip.  Tile ids in the output are
-    strip-local.  The per-Gaussian cull decisions (including the 256-tile cap)
-    were made against the FULL image rect in projection, matching the
-    reference; only pair emission is restricted to the strip.
-
-    ``compute_inverse`` additionally builds ``inv_amap`` for the scatter-free
-    gradient reduction (grad_reduce="prefix").  It costs a fourth sort operand
-    plus an inverse-permutation scatter — lax.sort permutes every operand
-    whether its output is consumed or not — so it is off by default and
-    ``inv_amap`` is a zero-length placeholder."""
-    num_tiles = tiles_x * tiles_y
-    n = proj.depth.shape[0]
-    p_cap = pair_capacity
-    a_cap = aligned_capacity(p_cap, num_tiles, block)
-    num_blocks = a_cap // block
-
-    # intersect each Gaussian's tile rect with the strip's row range
-    row0 = jnp.asarray(row0, jnp.int32)
-    ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
-    ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
-    span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
-    span_x_full = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
-    counts = jnp.where(proj.n_tiles > 0, span_x_full * span_y, 0).astype(jnp.int32)
-    cum = jnp.cumsum(counts)                 # inclusive
-    offsets = cum - counts                   # exclusive
-    total = cum[-1] if n > 0 else jnp.int32(0)
-
-    # Capacity bound: drop Gaussians whose run would cross the end
-    # (reference: writePos + tileCount > maxPairs -> return).
-    fits = (offsets + counts) <= p_cap
-    counts = jnp.where(fits, counts, 0)
-    overflow = total > p_cap
-
-    # --- expand: slot j belongs to the Gaussian whose cumulative range covers j
-    slots = jnp.arange(p_cap, dtype=jnp.int32)
-    # recompute cumsum with dropped Gaussians removed so slots stay dense
-    cum = jnp.cumsum(counts)
-    offsets = cum - counts
-    total = jnp.minimum(cum[-1], p_cap) if n > 0 else jnp.int32(0)
-    gid = _run_ids(offsets, counts > 0, p_cap)
-    gid = jnp.clip(gid, 0, n - 1)
-    slot_valid = slots < total
-
-    # One row-gather of a packed per-Gaussian table instead of five separate
-    # 1-D gathers: TPU gathers fetch >= a vector register row per index, so
-    # [N, 8] rows cost the same random-access traffic as [N] elements and the
-    # other four gathers come along for free.  Integer fields are exact in
-    # fp32 (all < 2^24).
-    table = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            span_x_full.astype(jnp.float32),
-            ty_lo.astype(jnp.float32),
-            proj.tile_min[:, 0].astype(jnp.float32),
-            proj.depth,
-        ],
-        axis=-1,
-    )  # [N, 5]
-    rows = table[gid]  # [p_cap, 5]
-    offset_g = rows[:, 0].astype(jnp.int32)
-    span_x = jnp.maximum(rows[:, 1].astype(jnp.int32), 1)
-    ty_lo_g = rows[:, 2].astype(jnp.int32)
-    tmin_x_g = rows[:, 3].astype(jnp.int32)
-    depth = jnp.where(slot_valid, rows[:, 4], jnp.inf)
-
-    rank = slots - offset_g
-    ty = ty_lo_g + rank // span_x
-    tx = tmin_x_g + rank % span_x
-    tile_id = jnp.where(
-        slot_valid, (ty - row0) * tiles_x + tx, num_tiles
-    ).astype(jnp.int32)
-    gid = jnp.where(slot_valid, gid, -1)
-
-    # --- lexicographic sort by (tile, depth); invalid pairs sink to the end.
-    # The slot index rides along only when the aligned layout must be
-    # invertible (scatter-free gradient reduction).
-    if compute_inverse:
-        sorted_tile, _sorted_depth, sorted_gid, sorted_slot = jax.lax.sort(
-            (tile_id, depth, gid, slots), num_keys=2
-        )
-    else:
-        sorted_tile, _sorted_depth, sorted_gid = jax.lax.sort(
-            (tile_id, depth, gid), num_keys=2
-        )
-        sorted_slot = None
-
-    # --- per-tile counts and starts in the sorted array
-    ones = jnp.where(sorted_tile < num_tiles, 1, 0)
-    tile_counts = jax.ops.segment_sum(
-        ones, sorted_tile, num_segments=num_tiles + 1
-    )[:num_tiles]
-    tile_starts = jnp.cumsum(tile_counts) - tile_counts
-
-    # --- block-aligned layout: tile t occupies [aligned_starts[t],
-    #     aligned_starts[t] + ceil(count/block)*block)
-    aligned_counts = -(-tile_counts // block) * block
-    aligned_cum = jnp.cumsum(aligned_counts)
-    aligned_starts = aligned_cum - aligned_counts
-
-    # tile id of each block (blocks never straddle tiles by construction);
-    # blocks past the last occupied one get the padding id num_tiles
-    block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
-    block_tile = _run_ids(aligned_starts // block, aligned_counts > 0, num_blocks)
-    block_tile = jnp.where(
-        block_starts < aligned_cum[-1], jnp.clip(block_tile, 0, num_tiles - 1), num_tiles
-    ).astype(jnp.int32)
-
-    # GATHER sorted pairs into their aligned position (a scatter would be
-    # ~4x slower on TPU): aligned slot j of tile t holds the pair ranked
-    # (j - aligned_starts[t]) within t's sorted run, or -1 padding.  Shaped
-    # [num_blocks, block] so every op is 2-D-tiled.
-    lane = jnp.arange(block, dtype=jnp.int32)[None, :]
-    safe_bt = jnp.minimum(block_tile, num_tiles - 1)
-    rank2d = (block_starts - aligned_starts[safe_bt])[:, None] + lane
-    src = tile_starts[safe_bt][:, None] + rank2d
-    in_run = (block_tile[:, None] < num_tiles) & (
-        rank2d < tile_counts[safe_bt][:, None]
-    )
-    src_c = jnp.clip(src, 0, p_cap - 1)
-    aligned_gid = jnp.where(in_run, sorted_gid[src_c], -1).reshape(a_cap)
-
-    # slot occupying each aligned position, and its inverse.  In-range
-    # indices are unique (every slot lands in at most one aligned position)
-    # but the out-of-range padding sentinel repeats, so unique_indices must
-    # NOT be promised (XLA leaves violations undefined).
-    if compute_inverse:
-        amap_slot = jnp.where(in_run, sorted_slot[src_c], p_cap).reshape(a_cap)
-        inv_amap = jnp.full((p_cap,), a_cap, jnp.int32).at[amap_slot].set(
-            jnp.arange(a_cap, dtype=jnp.int32), mode="drop"
-        )
-    else:
-        inv_amap = jnp.zeros((0,), jnp.int32)
-
-    return PairBlocks(
-        gaussian_id=aligned_gid,
-        block_tile=block_tile,
-        num_pairs=total,
-        overflow=overflow,
-        inv_amap=inv_amap,
-        run_offsets=offsets,
-        run_counts=counts,
+) -> PairRows:
+    """Index-only variant (no render data) for tests and profiling; the
+    layout invariants are identical to build_pair_rows."""
+    return build_pair_rows(
+        proj, proj.depth[:, None], tiles_x, tiles_y, pair_capacity, block,
+        row0=row0,
     )

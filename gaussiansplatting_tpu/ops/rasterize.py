@@ -50,57 +50,6 @@ class RenderAux(NamedTuple):
     overflow: jnp.ndarray    # [] bool pair capacity exceeded
 
 
-def _float0(x):
-    import numpy as np
-
-    return np.zeros(x.shape, jax.dtypes.float0)
-
-
-@jax.custom_vjp
-def gather_pair_rows(table, gid, inv_amap, run_offsets, run_counts):
-    """rows[j] = table[max(gid[j], 0)] with a scatter-free transpose.
-
-    The VJP maps aligned-order cotangents back to SLOT order (where each
-    Gaussian's pairs are one contiguous run, ops/pairs.py) and reduces runs
-    by prefix-sum difference.  This replaces the duplicate-index scatter-add
-    XLA emits for a plain gather transpose — the deterministic, TPU-fast
-    stand-in for the reference's atomic gradient accumulation
-    (tiled_shaders.metal:698-736).
-    """
-    return table[jnp.maximum(gid, 0)]
-
-
-def _gpr_fwd(table, gid, inv_amap, run_offsets, run_counts):
-    return table[jnp.maximum(gid, 0)], (
-        gid, inv_amap, run_offsets, run_counts
-    )
-
-
-def _gpr_bwd(res, d_rows):
-    gid, inv_amap, run_offsets, run_counts = res
-    a_cap = gid.size
-    d = d_rows.shape[-1]
-    d_flat = d_rows.reshape(a_cap, d)
-    # padding row: inv_amap uses a_cap for slots with no aligned position
-    d_flat = jnp.concatenate([d_flat, jnp.zeros((1, d), d_flat.dtype)], axis=0)
-    d_slot = d_flat[inv_amap]                       # [p_cap, d]
-    prefix = jnp.cumsum(d_slot, axis=0)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1, d), prefix.dtype), prefix], axis=0
-    )
-    d_table = prefix[run_offsets + run_counts] - prefix[run_offsets]
-    return (
-        d_table,
-        _float0(gid),
-        _float0(inv_amap),
-        _float0(run_offsets),
-        _float0(run_counts),
-    )
-
-
-gather_pair_rows.defvjp(_gpr_fwd, _gpr_bwd)
-
-
 def _pixel_features(tile_size: int) -> jnp.ndarray:
     """[tile_size^2, 6] monomials (x2, xy, y2, x, y, 1) of tile-local pixel
     centers; identical for every tile, so computed once at trace time."""
@@ -137,6 +86,18 @@ def _quad_coefs(mu: jnp.ndarray, conic: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
+
+
+def _quad_coefs_cols(mx, my, a, b, c) -> list:
+    """_quad_coefs over separate [NB, B] field columns (no lane relayout)."""
+    return [
+        -0.5 * a,
+        -b,
+        -0.5 * c,
+        a * mx + b * my,
+        b * mx + c * my,
+        -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
+    ]
 
 
 def _block_blend(
@@ -239,14 +200,20 @@ def render(
         screen_pos = screen_pos + vs_dummy
     color = _color_with_dead_zone(proj.color)
 
-    pair_blocks = pairs_mod.build_pairs(
-        proj, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
-        compute_inverse=(cfg.grad_reduce == "prefix"),
+    # per-Gaussian render data rides the pair sorts as payload; the custom
+    # VJP inside build_pair_rows reduces aligned-order cotangents straight
+    # back to per-Gaussian sums (the deterministic replacement for the
+    # reference's per-field atomics, tiled_shaders.metal:698-736)
+    data = jnp.concatenate(
+        [screen_pos, proj.conic, proj.opacity[:, None], color], axis=-1
+    )  # [N, 9]
+    pair_blocks = pairs_mod.build_pair_rows(
+        proj, data, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
+        grad_reduce=cfg.grad_reduce,
     )
     a_cap = pair_blocks.gaussian_id.shape[0]
     num_blocks = a_cap // block
 
-    # ---- gather per-pair data (block-major) ----
     gid = pair_blocks.gaussian_id.reshape(num_blocks, block)
     pair_valid = gid >= 0
 
@@ -256,43 +223,40 @@ def render(
     tile_cy = ((block_tile // tiles_x).astype(jnp.float32) + row0_f) * ts + ts / 2.0
     tile_center = jnp.stack([tile_cx, tile_cy], axis=-1)  # [NB, 2]
 
-    # one row-gather of the packed per-Gaussian table (cheaper than four
-    # separate gathers, and its transpose is ONE fused scatter-add — the
-    # deterministic replacement for the reference's per-field atomics)
-    table = jnp.concatenate(
-        [screen_pos, proj.conic, proj.opacity[:, None], color], axis=-1
-    )  # [N, 9]
-    if cfg.grad_reduce == "prefix":
-        rows = gather_pair_rows(
-            table, gid, pair_blocks.inv_amap,
-            pair_blocks.run_offsets, pair_blocks.run_counts,
-        )                                                 # [NB, B, 9]
-    else:
-        rows = table[jnp.maximum(gid, 0)]
-    mu = rows[..., 0:2] - tile_center[:, None, :]
-    b_conic = rows[..., 2:5]
-    b_opacity = rows[..., 5]
-    b_color = rows[..., 6:9]
+    # column-major pair data: each field reshapes to [NB, B] for free
+    # (a [a_cap, 9] row layout would cost a full lane-relayout transpose)
+    def col(i):
+        return pair_blocks.rows[i].reshape(num_blocks, block)
+
+    mu_x = col(0) - tile_center[:, 0:1]
+    mu_y = col(1) - tile_center[:, 1:2]
+    c_a, c_bb, c_c = col(2), col(3), col(4)
+    b_opacity = col(5)
+    col_r, col_g, col_b = col(6), col(7), col(8)
 
     # ---- per-block blended summaries ----
     feats = _pixel_features(ts)
     use_pallas = cfg.blend_impl == "pallas" or (
         cfg.blend_impl == "auto" and jax.default_backend() == "tpu"
     )
+    conic_mag = jnp.abs(c_a) + jnp.abs(c_bb) + jnp.abs(c_c)  # [NB, B]
+    op_eff = jnp.where(pair_valid & (conic_mag >= 1e-4), b_opacity, 0.0)
     if use_pallas:
         # Fused Pallas kernels (forward + hand-derived replay backward);
-        # see ops/pallas_blend.py.
+        # see ops/pallas_blend.py.  Inputs assembled by stacking [NB, B]
+        # columns along the SUBLANE axis — a local interleave, not the
+        # lane-relayout a [NB, B, k] stack would be.
         from gaussiansplatting_tpu.ops.pallas_blend import (
             block_blend_pallas, block_blend_pallas_tf,
         )
 
-        coef = _quad_coefs(mu, b_conic)                      # [NB, B, 6]
-        coef8 = jnp.pad(coef.transpose(0, 2, 1), ((0, 0), (0, 2), (0, 0)))
-        conic_mag = jnp.sum(jnp.abs(b_conic), axis=-1)
-        op_eff = jnp.where(
-            pair_valid & (conic_mag >= 1e-4), b_opacity, 0.0
-        )                                                    # [NB, B]
-        color4 = jnp.pad(b_color.transpose(0, 2, 1), ((0, 0), (0, 1), (0, 0)))
+        zeros_nb = jnp.zeros_like(b_opacity)
+        coef8 = jnp.stack(
+            _quad_coefs_cols(mu_x, mu_y, c_a, c_bb, c_c)
+            + [zeros_nb, zeros_nb],
+            axis=1,
+        )                                                    # [NB, 8, B]
+        color4 = jnp.stack([col_r, col_g, col_b, zeros_nb], axis=1)
         out = block_blend_pallas(
             coef8, op_eff, color4,
             (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor),
@@ -309,7 +273,11 @@ def render(
             return out[:, :3, :].transpose(0, 2, 1), out[:, 3, :]
     else:
         # XLA fallback: chunked scan; jax.checkpoint re-materializes block
-        # internals in backward = the transmittance replay.
+        # internals in backward = the transmittance replay.  (The [NB, B, k]
+        # stacks relayout lanes; acceptable off-TPU.)
+        mu = jnp.stack([mu_x, mu_y], axis=-1)
+        b_conic = jnp.stack([c_a, c_bb, c_c], axis=-1)
+        b_color = jnp.stack([col_r, col_g, col_b], axis=-1)
         chunk_blocks = min(chunk_blocks, num_blocks)
         n_chunks = -(-num_blocks // chunk_blocks)
         nb_pad = n_chunks * chunk_blocks

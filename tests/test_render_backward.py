@@ -110,9 +110,9 @@ def test_grad_matches_finite_differences(rng):
 def test_vjp_consistent_with_jvp(rng):
     """Reverse-mode (our training path) vs forward-mode on random directions —
     independent AD code paths must agree to fp32 precision.  (Forward mode
-    requires the scatter gradient reduction; custom_vjp has no JVP rule.)"""
+    requires the plain-autodiff pair pipeline; custom_vjp has no JVP rule.)"""
     params, cam, cfg = _setup(rng, n=16)
-    cfg = cfg.replace(grad_reduce="scatter")
+    cfg = cfg.replace(grad_reduce="autodiff")
     weights = jnp.ones((cam.height, cam.width, 3), jnp.float32)
 
     trainable = ("means", "log_scales", "quats", "raw_opacities", "sh")
@@ -149,7 +149,7 @@ def test_viewspace_dummy_gradient(rng):
     """The vs_dummy cotangent equals the screen-space positional gradient used
     by density control (reference: viewspace_grad, tiled_shaders.metal:717-720)."""
     params, cam, cfg = _setup(rng)
-    cfg = cfg.replace(grad_reduce="scatter")  # JVP check below needs fwd-mode
+    cfg = cfg.replace(grad_reduce="autodiff")  # JVP check below needs fwd-mode
     weights = jnp.asarray(
         rng.uniform(0.5, 1.0, (cam.height, cam.width, 3)).astype(np.float32)
     )
@@ -189,19 +189,21 @@ def test_gradients_finite(rng):
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
-def test_prefix_grad_reduce_matches_scatter(rng):
-    """The scatter-free run-prefix gradient reduction (custom VJP in
-    rasterize.gather_pair_rows) equals the plain XLA gather transpose."""
+def test_grad_reduce_modes_agree(rng):
+    """All three per-Gaussian gradient reductions — the sort+prefix-diff
+    custom VJP (default), the fused scatter-add custom VJP, and plain
+    autodiff through the pair pipeline — produce the same gradients."""
     params, cam, cfg = _setup(rng, n=32)
     weights = jnp.asarray(
         rng.uniform(0.5, 1.0, (cam.height, cam.width, 3)).astype(np.float32)
     )
     grads = {}
-    for mode in ("prefix", "scatter"):
+    for mode in ("sortprefix", "scatter", "autodiff"):
         fn = _loss_fn(cam, cfg.replace(grad_reduce=mode), weights)
         grads[mode] = jax.jit(jax.grad(fn, allow_int=True))(params)
-    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
-        a = np.asarray(getattr(grads["prefix"], f))
-        b = np.asarray(getattr(grads["scatter"], f))
-        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
-        assert rel < 5e-4, f"{f}: rel {rel}"
+    for mode in ("sortprefix", "autodiff"):
+        for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+            a = np.asarray(getattr(grads[mode], f))
+            b = np.asarray(getattr(grads["scatter"], f))
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 5e-4, f"{mode}/{f}: rel {rel}"

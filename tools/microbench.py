@@ -171,6 +171,27 @@ def main(argv=None) -> int:
         i = (win.reshape(-1) + c.astype(jnp.int32)) % m
         return c + tick(big16[:, :12][i])
 
+    @case("stack9_lane")  # 9 x [m] 1-D -> [m, 9] (lane relayout transpose)
+    def _(c):
+        cols = [big16[:, i] + c for i in range(9)]
+        return c + tick(jnp.stack(cols, axis=-1))
+
+    @case("stack8_sublane")  # 16k x [128] blocks -> [nb, 8, 128] interleave
+    def _(c):
+        nb = m // 128
+        cols = [(big16[:, i] + c).reshape(nb, 128) for i in range(8)]
+        return c + tick(jnp.stack(cols, axis=1))
+
+    @case("gather_flat_1m2")  # endpoint gather at D*N flat indices
+    def _(c):
+        idx = (jnp.tile(idx_rand[: args.n], 9) + c.astype(jnp.int32)) % m
+        return c + tick(big1[idx])
+
+    @case("cumsum_20m")  # fused column cumsum
+    def _(c):
+        x = jnp.tile(big1, 9) + c
+        return c + tick(jnp.cumsum(x))
+
     @case("sort_2op_3m")  # sort scaling to 3.2M (dense two-tier expansion)
     def _(c):
         k = jnp.tile(keys, 2)[: 3 * m // 2] + c.astype(jnp.int32)

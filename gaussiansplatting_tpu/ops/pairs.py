@@ -308,22 +308,17 @@ def _pair_rows_bwd(cfg, res, cts):
     else:
         # sortprefix: sort cotangents by Gaussian id (sorts are cheap), then
         # per-Gaussian sums are prefix-sum differences over contiguous runs.
-        # The columns stay 1-D throughout: one fused cumsum over the
-        # column-concatenated array works because a prefix DIFFERENCE within
-        # a column is unaffected by the constant carried in from earlier
-        # columns, and it avoids a [a_cap, D] lane-relayout.
+        # Endpoint lookups use ROW layout ([a_cap, D] stack is ~0.4 ms; the
+        # N-index row gathers are ~2.5 ms each vs ~8 ms for D*N flat ones).
         key = jnp.where(gid_aligned >= 0, gid_aligned, n)
         s = jax.lax.sort((key,) + tuple(d_rows[j] for j in range(d)),
                          num_keys=1)
-        flat = jnp.concatenate(
-            [jnp.concatenate([jnp.zeros((1,), d_rows.dtype), s[1 + j]])
-             for j in range(d)]
-        )                                             # [D * (a_cap + 1)]
-        csum = jnp.cumsum(flat)
+        sd = jnp.stack(s[1:], axis=-1)                # [a_cap, D]
+        csum = jnp.concatenate(
+            [jnp.zeros((1, d), sd.dtype), jnp.cumsum(sd, axis=0)], axis=0
+        )
         ends = jnp.cumsum(counts)                     # [N] run ends (1-based)
-        base = jnp.arange(d, dtype=jnp.int32)[:, None] * (a_cap + 1)
-        d_data = (csum[base + ends[None, :]]
-                  - csum[base + (ends - counts)[None, :]]).T
+        d_data = csum[ends] - csum[ends - counts]
 
     zero_i32 = lambda shape: _float0(jnp.zeros(shape, jnp.int32))  # noqa: E731
     return (

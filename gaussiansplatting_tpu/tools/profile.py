@@ -71,6 +71,48 @@ def stage_times(
         img, _ = render(params.replace(means=means), cam, rc)
         return means + fold(img)
 
+    # -- fine-grained sub-stages of the blend section (profiling-only
+    #    duplication of render's internals) --
+    def _pair_cols(means):
+        p = params.replace(means=means)
+        pr = proj_mod.project(p, cam, rc)
+        data = jnp.concatenate(
+            [pr.screen_pos, pr.conic, pr.opacity[:, None], pr.color], axis=-1
+        )
+        return pairs_mod.build_pair_rows(
+            pr, data, tiles_x, tiles_y, rc.pair_capacity, rc.pair_block
+        )
+
+    def _blend_inputs(means):
+        pb = _pair_cols(means)
+        nb = pb.gaussian_id.shape[0] // rc.pair_block
+        cols = [pb.rows[i].reshape(nb, rc.pair_block) for i in range(9)]
+        gid = pb.gaussian_id.reshape(nb, rc.pair_block)
+        from gaussiansplatting_tpu.ops.rasterize import _quad_coefs_cols
+
+        zeros_nb = jnp.zeros_like(cols[5])
+        coef8 = jnp.stack(
+            _quad_coefs_cols(cols[0], cols[1], cols[2], cols[3], cols[4])
+            + [zeros_nb, zeros_nb], axis=1)
+        color4 = jnp.stack([cols[6], cols[7], cols[8], zeros_nb], axis=1)
+        conic_mag = jnp.abs(cols[2]) + jnp.abs(cols[3]) + jnp.abs(cols[4])
+        op_eff = jnp.where((gid >= 0) & (conic_mag >= 1e-4), cols[5], 0.0)
+        return pb, coef8, op_eff, color4
+
+    def st_blend_inputs(means):
+        _, coef8, op_eff, color4 = _blend_inputs(means)
+        return means + fold(coef8) + fold(op_eff) + fold(color4)
+
+    def st_blend_fwd(means):
+        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_pallas
+
+        _, coef8, op_eff, color4 = _blend_inputs(means)
+        out = block_blend_pallas(
+            coef8, op_eff, color4,
+            (rc.tile_size, rc.power_floor, rc.alpha_cap, rc.alpha_floor),
+        )
+        return means + fold(out)
+
     def st_loss(means):
         img, _ = render(params.replace(means=means), cam, rc)
         return means + fold(photometric_loss(img, gt, cfg.loss).grad_loss)
@@ -89,6 +131,8 @@ def stage_times(
     stage_fns = {
         "project": (st_project, params.means, 12),
         "project_pairs": (st_pairs, params.means, 12),
+        "blend_inputs": (st_blend_inputs, params.means, 8),
+        "blend_fwd": (st_blend_fwd, params.means, 8),
         "forward": (st_render, params.means, 8),
         "forward_loss": (st_loss, params.means, 8),
         "forward_backward": (st_grad, params.means, 6),

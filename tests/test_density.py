@@ -155,3 +155,73 @@ def test_apply_is_jittable(rng):
         jnp.float32(100.0), jnp.float32(20.0), CFG,
     )
     assert int(out[3].count) == 8
+
+
+def test_densify_at_real_scale_hits_hard_cap(rng):
+    """Stress the 1.5M hard-cap clone-drop path and the interleaved scatter
+    rebuild at real population sizes (1.4M alive, 1.6M capacity) — the sizes
+    config #4 training reaches (mtl_engine.mm:1047-1221), which the toy-
+    capacity tests above never exercise.
+
+    Layout: [0,100k) pruned, [100k,150k) split, [150k,450k) clone requests,
+    rest keep.  Raw new count 1.65M exceeds the 1.5M cap by 150k, so the
+    150k lowest-index clone REQUESTS are dropped (density_control.mm:358-382)
+    — those Gaussians survive as plain keeps — leaving exactly 1.5M.
+    """
+    C = 1_600_000
+    n = 1_400_000
+    p0, s0, s1, c0, c1 = 0, 100_000, 150_000, 150_000, 450_000
+
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    log_scales = np.full((n, 3), -4.0, np.float32)
+    log_scales[s0:s1] = np.log(0.5)  # > percent_dense*extent -> split
+    raw_op = np.full((n,), 2.0, np.float32)
+    raw_op[p0:s0] = -6.0             # sigmoid(-6) < 0.005 -> prune
+    params = G.from_arrays(
+        means, log_scales,
+        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        raw_op, np.zeros((n, 4, 3), np.float32), capacity=C,
+    )
+    opt = optimizer.init_state(params)
+    sentinel_clone, sentinel_split = c1 - 1_000, s0  # surviving clone / a split
+    opt = opt.replace(m={**opt.m, "means": opt.m["means"]
+                         .at[sentinel_clone].set(7.0)})
+    accum = control.init_accum(C)
+    ga = np.zeros((C,), np.float32)
+    gc = np.zeros((C,), np.int32)
+    ga[s0:c1] = 1.0                  # split + clone bands over threshold
+    gc[s0:c1] = 1
+    accum = accum.replace(grad_accum=jnp.asarray(ga), grad_count=jnp.asarray(gc))
+
+    new_params, new_opt, _, stats = _apply(params, opt, accum, 5000)
+
+    assert int(stats.pruned) == 100_000
+    assert int(stats.split) == 50_000
+    assert int(stats.cloned) == 150_000  # 300k requested, 150k dropped
+    assert int(stats.count) == 1_500_000
+    alive = np.asarray(new_params.alive)
+    assert alive[:1_500_000].all() and not alive[1_500_000:].any()
+
+    m_in = np.asarray(params.means)
+    m_out = np.asarray(new_params.means)
+    sc_out = np.asarray(new_params.log_scales)
+    # split children at the front: symmetric about the parent, shrunk scales
+    np.testing.assert_allclose(
+        m_out[0] + m_out[1], 2.0 * m_in[s0], rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sc_out[0], np.log(0.5) - np.log(1.6), rtol=0, atol=1e-5
+    )
+    # dropped-clone region [150k,300k): single compacted copies
+    np.testing.assert_allclose(m_out[100_000], m_in[c0])
+    np.testing.assert_allclose(m_out[100_000 + 77], m_in[c0 + 77])
+    # surviving-clone region [300k,450k): interleaved identical pairs
+    off = 250_000 + 2 * (sentinel_clone - 300_000)
+    np.testing.assert_allclose(m_out[off], m_in[sentinel_clone])
+    np.testing.assert_allclose(m_out[off + 1], m_in[sentinel_clone])
+    # plain keeps after the densify bands
+    np.testing.assert_allclose(m_out[550_000 + 5], m_in[c1 + 5])
+    # Adam state rides the permutation: original keeps momentum, copy resets
+    m_mom = np.asarray(new_opt.m["means"])
+    np.testing.assert_allclose(m_mom[off], 7.0)
+    np.testing.assert_allclose(m_mom[off + 1], 0.0)

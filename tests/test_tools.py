@@ -321,3 +321,44 @@ def test_profiling_loop_time_ms_smoke():
 
     ms = loop_time_ms(f, (jnp.ones((128, 128)),), k_small=1, k_large=4, repeats=1)
     assert np.isfinite(ms)
+
+
+def test_view_server_serves_frames(tmp_path, rng):
+    """Interactive viewer (tools/view.py): page, state, and an on-demand
+    JPEG frame through the tiled pipeline (reference --view analog,
+    main.mm:231-297)."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from gaussiansplatting_tpu.io import ply as ply_mod
+    from gaussiansplatting_tpu.tools import view as view_mod
+
+    cloud = ply_mod.cloud_from_params(_params(rng, n=40))
+    ply_path = str(tmp_path / "model.ply")
+    ply_mod.export_gaussian_ply(ply_path, cloud)
+
+    state = view_mod.build_state(
+        ply_path, width=64, height=48, fov=60.0, sh_degree=0,
+        pair_capacity=2048,
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), view_mod.make_handler(state))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"viewer" in page
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=30
+        ).read())
+        assert st["r"] > 0
+        jpg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?az=0.5&el=0.2", timeout=120
+        ).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+        assert len(jpg) > 500
+    finally:
+        srv.shutdown()

@@ -11,8 +11,16 @@ blended entirely in VMEM:
                in-block scan: a cumulative sum along lanes as one matmul)
   * c_b      = color [4, B] · weightsᵀ               (MXU)
 
-and the backward replays the forward in VMEM (the reference's T-replay,
-tiled_shaders.metal:429-514) and hand-derives d(coef), d(opacity), d(color):
+The kernels take the NINE raw per-pair columns (mu, conic, opacity, color —
+exactly the [NB, B] reshapes of the pair pipeline's payload rows) and build
+the quadratic-form coefficient matrix IN KERNEL.  Assembling a [NB, 8, B]
+coefficient tensor in XLA costs a pathological sublane-interleave relayout
+(~38 ms at 2M pairs, measured round 2); in-kernel it is a [8, B]-sized
+vector op per block group.
+
+The backward replays the forward in VMEM (the reference's T-replay,
+tiled_shaders.metal:429-514) and hand-derives the gradients all the way back
+to the nine columns:
 
   dL/dl_i = g_s + Σ_{j>i} e_j w_j      (reverse-exclusive suffix, upper-
                                         triangular matmul)
@@ -20,9 +28,11 @@ tiled_shaders.metal:429-514) and hand-derives d(coef), d(opacity), d(color):
   dL/dpow = dL/da · a                  (cap gradient passes through, matching
                                         the reference, which ignores the 0.99
                                         cap in backward)
+  dL/dcoef = featsᵀ @ dL/dpow, then the 6 quadratic-form rows chain to
+  (mu_x, mu_y, conic) by per-pair algebra in kernel — so the XLA-level
+  cotangents are [NB, B] columns that flow straight into the pair pipeline's
+  custom VJP with no relayout.
 
-Gradients to conic/mean flow through the (XLA, autodiff) coefficient
-construction in ops/rasterize.py, so only the blend itself is hand-derived.
 Accumulation across pixels is deterministic matmul reduction — no float
 atomics (SURVEY.md §7.1).
 """
@@ -54,61 +64,119 @@ def _tri_upper_strict(b: int) -> jnp.ndarray:
     return (r > c).astype(jnp.float32)
 
 
+def _row(ref, i):
+    """Row i of a (GROUP, B) ref as [1, B]."""
+    return ref[i][None, :]
+
+
+def _coef8(mx, my, a, b, c):
+    """[8, B] coefficients of -0.5 d^T conic d over the pixel monomials
+    (x2, xy, y2, x, y, 1) + 2 zero rows, from [1, B] columns (mirrors
+    rasterize._quad_coefs; the reference evaluates the form per pixel,
+    tiled_shaders.metal:343-349)."""
+    z = jnp.zeros_like(a)
+    return jnp.concatenate(
+        [
+            -0.5 * a,
+            -b,
+            -0.5 * c,
+            a * mx + b * my,
+            b * mx + c * my,
+            -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
+            z,
+            z,
+        ],
+        axis=0,
+    )
+
+
 def _replay(coef_i, op_i, feats, power_floor, alpha_cap, alpha_floor):
-    """Shared forward math for one block: returns (power, a_raw, a, l)."""
+    """Shared forward math for one block: returns (power, a_raw, a, l, mask)."""
     power = jnp.dot(feats, coef_i, preferred_element_type=jnp.float32)  # [P2,B]
-    a_raw = op_i[None, :] * jnp.exp(power)
+    a_raw = op_i * jnp.exp(power)
     mask = (power <= 0.0) & (power >= power_floor) & (a_raw >= alpha_floor)
     a = jnp.where(mask, jnp.minimum(a_raw, alpha_cap), 0.0)
     l = jnp.log1p(-a)
     return power, a_raw, a, l, mask
 
 
-def _fwd_kernel(coef_ref, op_ref, col_ref, feats_ref, out_ref, *, cfg_consts):
+def _read_cols(refs, i):
+    """The nine [1, B] columns of block i: mx, my, ca, cb, cc, op, cr, cg, cb."""
+    return tuple(_row(r, i) for r in refs)
+
+
+def _fwd_body(refs, feats, i, cfg_consts):
+    """Forward for block i of the group: returns (w, l, color4)."""
     _, power_floor, alpha_cap, alpha_floor = cfg_consts
-    feats = feats_ref[:]                      # [P2, 8]
-    b = op_ref.shape[-1]
-    tril = _tri_lower(b)
+    mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
+    coef = _coef8(mx, my, ca, cb, cc)
+    _, _, a, l, _ = _replay(coef, op, feats, power_floor, alpha_cap, alpha_floor)
+    tril = _tri_lower(a.shape[-1])
+    cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+    t = jnp.exp(cum_incl - l)             # exclusive prefix transmittance
+    w = a * t                             # [P2, B]
+    z = jnp.zeros_like(cr)
+    color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)   # [4, B]
+    return w, l, color4
+
+
+def _fwd_kernel(*args, cfg_consts):
+    *refs, feats_ref, out_ref = args
+    feats = feats_ref[:]                  # [P2, 8]
     for i in range(GROUP):
-        _, _, a, l, _ = _replay(
-            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
-        )
-        cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
-        t = jnp.exp(cum_incl - l)             # exclusive prefix transmittance
-        w = a * t                             # [P2, B]
+        w, l, color4 = _fwd_body(refs, feats, i, cfg_consts)
         # c_b^T [4, P2]: contract over B; color row 3 is zero padding
         cbt = jax.lax.dot_general(
-            col_ref[i], w, (((1,), (1,)), ((), ())),
+            color4, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s_b = jnp.sum(l, axis=-1)             # [P2]
+        s_b = jnp.sum(l, axis=-1)         # [P2]
         row = jax.lax.broadcasted_iota(jnp.int32, cbt.shape, 0)
         out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
 
 
-def _bwd_kernel(coef_ref, op_ref, col_ref, feats_ref, g_ref,
-                dcoef_ref, dop_ref, dcol_ref, *, cfg_consts):
+def _chain_to_cols(dcoef, mx, my, ca, cb, cc):
+    """Chain dL/dcoef [8, B] back to (dmx, dmy, dca, dcb, dcc) [1, B] each."""
+    g0, g1, g2 = dcoef[0:1], dcoef[1:2], dcoef[2:3]
+    g3, g4, g5 = dcoef[3:4], dcoef[4:5], dcoef[5:6]
+    dca = -0.5 * g0 + mx * g3 - 0.5 * mx * mx * g5
+    dcb = -g1 + my * g3 + mx * g4 - mx * my * g5
+    dcc = -0.5 * g2 + my * g4 - 0.5 * my * my * g5
+    dmx = ca * g3 + cb * g4 - (ca * mx + cb * my) * g5
+    dmy = cb * g3 + cc * g4 - (cb * mx + cc * my) * g5
+    return dmx, dmy, dca, dcb, dcc
+
+
+def _bwd_kernel(*args, cfg_consts):
+    *refs, feats_ref, g_ref = args[: 9 + 2]
+    outs = args[9 + 2:]
+    (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
+     dop_ref, dcr_ref, dcg_ref, dcb2_ref) = outs
     _, power_floor, alpha_cap, alpha_floor = cfg_consts
     feats = feats_ref[:]
-    b = op_ref.shape[-1]
-    tril = _tri_lower(b)
-    triu = _tri_upper_strict(b)
     for i in range(GROUP):
+        mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
+        coef = _coef8(mx, my, ca, cb, cc)
         power, a_raw, a, l, mask = _replay(
-            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
+            coef, op, feats, power_floor, alpha_cap, alpha_floor
         )
+        b = a.shape[-1]
+        tril = _tri_lower(b)
+        triu = _tri_upper_strict(b)
         cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
         t = jnp.exp(cum_incl - l)
         w = a * t
 
-        g = g_ref[i]                          # [4, P2]; rows 0-2 = dC, 3 = dS
+        g = g_ref[i]                      # [4, P2]; rows 0-2 = dC, 3 = dS
         row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
         g_c = jnp.where(row == 3, 0.0, g)     # color rows only
         g_s = g[3, :]                         # [P2]
 
+        z = jnp.zeros_like(cr)
+        color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
         # e[p, j] = sum_ch gC[ch, p] * col[ch, j]
         e = jax.lax.dot_general(
-            g_c, col_ref[i], (((0,), (0,)), ((), ())),
+            g_c, color4, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                     # [P2, B]
         ew = e * w
@@ -116,39 +184,55 @@ def _bwd_kernel(coef_ref, op_ref, col_ref, feats_ref, g_ref,
         da = e * t - dl / (1.0 - a)
         dpow = jnp.where(mask, da * a_raw, 0.0)
 
-        dcoef_ref[i] = jax.lax.dot_general(
+        dcoef = jax.lax.dot_general(
             feats, dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                     # [8, B]
-        dop_ref[i] = jnp.sum(jnp.where(mask, da * jnp.exp(power), 0.0), axis=0)
-        dcol_ref[i] = jax.lax.dot_general(
+        dmx, dmy, dca, dcb, dcc = _chain_to_cols(dcoef, mx, my, ca, cb, cc)
+        dmux_ref[i] = dmx[0]
+        dmuy_ref[i] = dmy[0]
+        dca_ref[i] = dca[0]
+        dcb_ref[i] = dcb[0]
+        dcc_ref[i] = dcc[0]
+        # d(op): da*exp(power) summed over pixels; a_raw = op*exp(power), so
+        # sum da*a_raw then divide once per pair (saves a [P2,B] exp)
+        sum_da = jnp.sum(dpow, axis=0)        # [B]; dpow == mask*da*a_raw
+        opv = op[0]
+        dop_ref[i] = jnp.where(opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0)
+        dcol = jax.lax.dot_general(
             g_c, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                     # [4, B]
+        dcr_ref[i] = dcol[0]
+        dcg_ref[i] = dcol[1]
+        dcb2_ref[i] = dcol[2]
 
 
-def _fwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, out_ref,
-                   *, cfg_consts):
+def _fwd_kernel_tf(*args, cfg_consts):
     """T-floor forward: pairs whose incoming global transmittance is below
     the floor contribute nothing and stop updating T, matching the
     reference's per-pixel loop exit (tiled_shaders.metal:334).  The mask is
     exact because the unmasked prefix transmittance only decreases."""
+    *refs, feats_ref, logti_ref, out_ref = args
     _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
     feats = feats_ref[:]
-    b = op_ref.shape[-1]
-    tril = _tri_lower(b)
     for i in range(GROUP):
+        mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
+        coef = _coef8(mx, my, ca, cb, cc)
         _, _, a, l, _ = _replay(
-            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
+            coef, op, feats, power_floor, alpha_cap, alpha_floor
         )
+        tril = _tri_lower(a.shape[-1])
         cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
         log_excl = cum_incl - l
         # global exclusive transmittance; termination is monotone so the
         # mask needs no iteration
         mask_t = (log_excl + logti_ref[i][:, None]) > log_thr
         w = jnp.where(mask_t, a * jnp.exp(log_excl), 0.0)
+        z = jnp.zeros_like(cr)
+        color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
         cbt = jax.lax.dot_general(
-            col_ref[i], w, (((1,), (1,)), ((), ())),
+            color4, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s_b = jnp.sum(jnp.where(mask_t, l, 0.0), axis=-1)  # frozen-T product
@@ -156,20 +240,25 @@ def _fwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, out_ref,
         out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
 
 
-def _bwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, g_ref,
-                   dcoef_ref, dop_ref, dcol_ref, *, cfg_consts):
+def _bwd_kernel_tf(*args, cfg_consts):
     """T-floor replay backward: the termination mask is treated as a
     constant (the reference accumulates no gradients past lastContribIdx,
     tiled_shaders.metal:449-460)."""
+    *refs, feats_ref, logti_ref, g_ref = args[: 9 + 3]
+    outs = args[9 + 3:]
+    (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
+     dop_ref, dcr_ref, dcg_ref, dcb2_ref) = outs
     _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
     feats = feats_ref[:]
-    b = op_ref.shape[-1]
-    tril = _tri_lower(b)
-    triu = _tri_upper_strict(b)
     for i in range(GROUP):
+        mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
+        coef = _coef8(mx, my, ca, cb, cc)
         power, a_raw, a, l, mask = _replay(
-            coef_ref[i], op_ref[i], feats, power_floor, alpha_cap, alpha_floor
+            coef, op, feats, power_floor, alpha_cap, alpha_floor
         )
+        b = a.shape[-1]
+        tril = _tri_lower(b)
+        triu = _tri_upper_strict(b)
         cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
         mask_t = (cum_incl - l + logti_ref[i][:, None]) > log_thr
         # survivors' prefixes only contain survivors, so masking alpha
@@ -185,8 +274,10 @@ def _bwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, g_ref,
         g_c = jnp.where(row == 3, 0.0, g)
         g_s = g[3, :]
 
+        z = jnp.zeros_like(cr)
+        color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
         e = jax.lax.dot_general(
-            g_c, col_ref[i], (((0,), (0,)), ((), ())),
+            g_c, color4, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ew = e * w
@@ -198,29 +289,30 @@ def _bwd_kernel_tf(coef_ref, op_ref, col_ref, feats_ref, logti_ref, g_ref,
         live = mask & mask_t
         dpow = jnp.where(live, da * a_raw, 0.0)
 
-        dcoef_ref[i] = jax.lax.dot_general(
+        dcoef = jax.lax.dot_general(
             feats, dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dop_ref[i] = jnp.sum(jnp.where(live, da * jnp.exp(power), 0.0), axis=0)
-        dcol_ref[i] = jax.lax.dot_general(
+        dmx, dmy, dca, dcb, dcc = _chain_to_cols(dcoef, mx, my, ca, cb, cc)
+        dmux_ref[i] = dmx[0]
+        dmuy_ref[i] = dmy[0]
+        dca_ref[i] = dca[0]
+        dcb_ref[i] = dcb[0]
+        dcc_ref[i] = dcc[0]
+        sum_da = jnp.sum(dpow, axis=0)
+        opv = op[0]
+        dop_ref[i] = jnp.where(opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0)
+        dcol = jax.lax.dot_general(
             g_c, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        dcr_ref[i] = dcol[0]
+        dcg_ref[i] = dcol[1]
+        dcb2_ref[i] = dcol[2]
 
 
 def _pad_groups(x, nb_pad):
     return jnp.pad(x, [(0, nb_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def block_blend_pallas(coef, opacity, color, cfg_consts):
-    """coef [NB, 8, B] (6 quadratic-form rows + 2 zero), opacity [NB, B],
-    color [NB, 4, B] (RGB + zero row).  cfg_consts is the static tuple
-    (tile_size, power_floor, alpha_cap, alpha_floor).
-    Returns out [NB, 4, P2]: rows 0-2 = blended color C_b, row 3 = S_b."""
-    out, _ = _fwd(coef, opacity, color, cfg_consts)
-    return out
 
 
 def _pixel_feats8(tile_size: int) -> jnp.ndarray:
@@ -235,27 +327,29 @@ def _pixel_feats8(tile_size: int) -> jnp.ndarray:
     return jnp.stack([x * x, x * y, y * y, x, y, jnp.ones_like(x), z, z], axis=-1)
 
 
-def _call(kernel, coef, opacity, color, extra_in, out_shapes, cfg_consts):
-    nb, _, b = coef.shape
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _call(kernel, cols, extra_in, out_shapes, cfg_consts):
+    """cols: nine [NB, B] arrays; extra_in: list of [NB, ...] arrays."""
+    nb, b = cols[0].shape
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
     nb_pad = -(-nb // GROUP) * GROUP
-    coef = _pad_groups(coef, nb_pad)
-    opacity = _pad_groups(opacity, nb_pad)
-    color = _pad_groups(color, nb_pad)
+    cols = [_pad_groups(x, nb_pad) for x in cols]
     extra_in = [_pad_groups(x, nb_pad) for x in extra_in]
 
     grid = (nb_pad // GROUP,)
+
     def blk(shape):
         return pl.BlockSpec(
             (GROUP,) + shape,
             lambda g: (g,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
-    in_specs = [
-        blk((8, b)),
-        blk((b,)),
-        blk((4, b)),
+
+    in_specs = [blk((b,)) for _ in cols] + [
         pl.BlockSpec((p2, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
     ] + [blk(x.shape[1:]) for x in extra_in]
     out_specs = tuple(blk(s[1:]) for s in out_shapes)
@@ -271,67 +365,70 @@ def _call(kernel, coef, opacity, color, extra_in, out_shapes, cfg_consts):
         if len(out_shapes) > 1
         else jax.ShapeDtypeStruct((nb_pad,) + out_shapes[0][1:], jnp.float32),
         interpret=_interpret(),
-    )(coef, opacity, color, feats, *extra_in)
+    )(*cols, feats, *extra_in)
     if len(out_shapes) == 1:
         return (outs[:nb],)
     return tuple(o[:nb] for o in outs)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def block_blend_cols(mux, muy, ca, cb, cc, op, cr, cg, cbl, cfg_consts):
+    """Blend from the nine raw pair columns, each [NB, B] float32:
+    tile-local mean x/y, conic a/b/c, effective opacity, color r/g/b.
+    cfg_consts is the static tuple (tile_size, power_floor, alpha_cap,
+    alpha_floor).  Returns out [NB, 4, P2]: rows 0-2 = blended color C_b,
+    row 3 = S_b (sum of log(1-alpha))."""
+    out, _ = _fwd(mux, muy, ca, cb, cc, op, cr, cg, cbl, cfg_consts)
+    return out
 
 
-def _fwd(coef, opacity, color, cfg_consts):
-    nb, _, b = coef.shape
+def _fwd(mux, muy, ca, cb, cc, op, cr, cg, cbl, cfg_consts):
+    cols = (mux, muy, ca, cb, cc, op, cr, cg, cbl)
+    nb, b = mux.shape
     p2 = int(cfg_consts[0]) ** 2
-    (out,) = _call(
-        _fwd_kernel, coef, opacity, color, [], [(nb, 4, p2)], cfg_consts
-    )
-    return out, (coef, opacity, color)
+    (out,) = _call(_fwd_kernel, cols, [], [(nb, 4, p2)], cfg_consts)
+    return out, cols
 
 
 def _bwd(cfg_consts, residuals, g):
-    coef, opacity, color = residuals
-    nb, _, b = coef.shape
-    dcoef, dop, dcol = _call(
-        _bwd_kernel, coef, opacity, color, [g],
-        [(nb, 8, b), (nb, b), (nb, 4, b)], cfg_consts,
+    cols = residuals
+    nb, b = cols[0].shape
+    col_shape = (nb, b)
+    return _call(
+        _bwd_kernel, cols, [g], [col_shape] * 9, cfg_consts
     )
-    return dcoef, dop, dcol
 
 
-block_blend_pallas.defvjp(_fwd, _bwd)
+block_blend_cols.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def block_blend_pallas_tf(coef, opacity, color, logti, cfg_consts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def block_blend_cols_tf(mux, muy, ca, cb, cc, op, cr, cg, cbl, logti, cfg_consts):
     """Exact-T-floor blend (RasterConfig.t_floor_exact).  Same contract as
-    block_blend_pallas plus logti [NB, P2]: each block's incoming log
+    block_blend_cols plus logti [NB, P2]: each block's incoming log
     transmittance (from the unmasked segmented prefix).  cfg_consts is
     (tile_size, power_floor, alpha_cap, alpha_floor, log_t_floor).  The
     termination mask is constant w.r.t. gradients (reference parity), so
     logti receives a zero cotangent."""
-    out, _ = _fwd_tf(coef, opacity, color, logti, cfg_consts)
+    out, _ = _fwd_tf(mux, muy, ca, cb, cc, op, cr, cg, cbl, logti, cfg_consts)
     return out
 
 
-def _fwd_tf(coef, opacity, color, logti, cfg_consts):
-    nb, _, b = coef.shape
+def _fwd_tf(mux, muy, ca, cb, cc, op, cr, cg, cbl, logti, cfg_consts):
+    cols = (mux, muy, ca, cb, cc, op, cr, cg, cbl)
+    nb, b = mux.shape
     p2 = int(cfg_consts[0]) ** 2
-    (out,) = _call(
-        _fwd_kernel_tf, coef, opacity, color, [logti], [(nb, 4, p2)], cfg_consts
-    )
-    return out, (coef, opacity, color, logti)
+    (out,) = _call(_fwd_kernel_tf, cols, [logti], [(nb, 4, p2)], cfg_consts)
+    return out, cols + (logti,)
 
 
 def _bwd_tf(cfg_consts, residuals, g):
-    coef, opacity, color, logti = residuals
-    nb, _, b = coef.shape
-    dcoef, dop, dcol = _call(
-        _bwd_kernel_tf, coef, opacity, color, [logti, g],
-        [(nb, 8, b), (nb, b), (nb, 4, b)], cfg_consts,
+    *cols, logti = residuals
+    nb, b = cols[0].shape
+    douts = _call(
+        _bwd_kernel_tf, tuple(cols), [logti, g], [(nb, b)] * 9, cfg_consts
     )
-    return dcoef, dop, dcol, jnp.zeros_like(logti)
+    return douts + (jnp.zeros_like(logti),)
 
 
-block_blend_pallas_tf.defvjp(_fwd_tf, _bwd_tf)
+block_blend_cols_tf.defvjp(_fwd_tf, _bwd_tf)

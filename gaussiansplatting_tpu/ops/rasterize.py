@@ -88,18 +88,6 @@ def _quad_coefs(mu: jnp.ndarray, conic: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _quad_coefs_cols(mx, my, a, b, c) -> list:
-    """_quad_coefs over separate [NB, B] field columns (no lane relayout)."""
-    return [
-        -0.5 * a,
-        -b,
-        -0.5 * c,
-        a * mx + b * my,
-        b * mx + c * my,
-        -0.5 * (a * mx * mx + 2.0 * b * mx * my + c * my * my),
-    ]
-
-
 def _block_blend(
     mu: jnp.ndarray,       # [blocks, B, 2] screen pos relative to tile center
     conic: jnp.ndarray,    # [blocks, B, 3]
@@ -243,34 +231,30 @@ def render(
     op_eff = jnp.where(pair_valid & (conic_mag >= 1e-4), b_opacity, 0.0)
     if use_pallas:
         # Fused Pallas kernels (forward + hand-derived replay backward);
-        # see ops/pallas_blend.py.  Inputs assembled by stacking [NB, B]
-        # columns along the SUBLANE axis — a local interleave, not the
-        # lane-relayout a [NB, B, k] stack would be.
+        # see ops/pallas_blend.py.  The nine [NB, B] columns go in raw —
+        # the quadratic-form coefficients are built IN KERNEL (an XLA-level
+        # [NB, 8, B] stack costs a ~38 ms sublane-interleave relayout at 2M
+        # pairs) and the backward returns [NB, B] column cotangents that
+        # flow straight into the pair pipeline's VJP.
         from gaussiansplatting_tpu.ops.pallas_blend import (
-            block_blend_pallas, block_blend_pallas_tf,
+            block_blend_cols, block_blend_cols_tf,
         )
 
-        zeros_nb = jnp.zeros_like(b_opacity)
-        coef8 = jnp.stack(
-            _quad_coefs_cols(mu_x, mu_y, c_a, c_bb, c_c)
-            + [zeros_nb, zeros_nb],
-            axis=1,
-        )                                                    # [NB, 8, B]
-        color4 = jnp.stack([col_r, col_g, col_b, zeros_nb], axis=1)
-        out = block_blend_pallas(
-            coef8, op_eff, color4,
+        out = block_blend_cols(
+            mu_x, mu_y, c_a, c_bb, c_c, op_eff, col_r, col_g, col_b,
             (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor),
         )                                                    # [NB, 4, P2]
-        c_b = out[:, :3, :].transpose(0, 2, 1)
+        c_b = out[:, :3, :]                                  # [NB, 3, P2]
         s_b = out[:, 3, :]
 
         def blend_tfloor(logti):
-            out = block_blend_pallas_tf(
-                coef8, op_eff, color4, logti,
+            out = block_blend_cols_tf(
+                mu_x, mu_y, c_a, c_bb, c_c, op_eff, col_r, col_g, col_b,
+                logti,
                 (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor,
                  math.log(cfg.transmittance_floor)),
             )
-            return out[:, :3, :].transpose(0, 2, 1), out[:, 3, :]
+            return out[:, :3, :], out[:, 3, :]
     else:
         # XLA fallback: chunked scan; jax.checkpoint re-materializes block
         # internals in backward = the transmittance replay.  (The [NB, B, k]
@@ -297,7 +281,8 @@ def render(
             chunk, (mu, b_conic, b_opacity, b_color, pair_valid)
         )
         _, (c_b, s_b) = jax.lax.scan(jax.checkpoint(chunk_fn), None, chunked)
-        c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks]
+        # channel-first [NB, 3, P2] to match the Pallas layout downstream
+        c_b = c_b.reshape(nb_pad, p2, 3)[:num_blocks].transpose(0, 2, 1)
         s_b = s_b.reshape(nb_pad, p2)[:num_blocks]
 
         def blend_tfloor(logti):
@@ -311,7 +296,7 @@ def render(
             )
             _, (c2, s2) = jax.lax.scan(jax.checkpoint(chunk_fn_tf), None, chunked_tf)
             return (
-                c2.reshape(nb_pad, p2, 3)[:num_blocks],
+                c2.reshape(nb_pad, p2, 3)[:num_blocks].transpose(0, 2, 1),
                 s2.reshape(nb_pad, p2)[:num_blocks],
             )
 
@@ -340,7 +325,7 @@ def render(
     else:
         tile_log_t_src = s_b
 
-    contrib = t_in[..., None] * c_b  # [NB, P2, 3]
+    contrib = t_in[:, None, :] * c_b  # [NB, 3, P2] (channel-first, no relayout)
     tile_color = jax.ops.segment_sum(contrib, seg, num_segments=num_tiles_total + 1)
     tile_log_t = jax.ops.segment_sum(
         tile_log_t_src, seg, num_segments=num_tiles_total + 1
@@ -349,12 +334,13 @@ def render(
     tile_log_t = tile_log_t[:num_tiles_total]
 
     bg = 1.0 if cfg.white_background else 0.0
-    tile_img = tile_color + jnp.exp(tile_log_t)[..., None] * bg  # [T, P2, 3]
+    tile_img = tile_color + jnp.exp(tile_log_t)[:, None, :] * bg  # [T, 3, P2]
 
     # ---- tiles -> image (full image: crop to H x W; strip: keep padded rows
-    #      so every device's strip has identical static shape) ----
-    img = tile_img.reshape(tiles_y, tiles_x, ts, ts, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, 3)
+    #      so every device's strip has identical static shape); the
+    #      channel-minor transpose is T*P2*3 elements — tiny ----
+    img = tile_img.reshape(tiles_y, tiles_x, 3, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * ts, tiles_x * ts, 3)
     if tile_rows is None:
         img = img[:height, :width]
     else:

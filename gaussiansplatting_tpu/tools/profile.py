@@ -88,30 +88,52 @@ def stage_times(
         nb = pb.gaussian_id.shape[0] // rc.pair_block
         cols = [pb.rows[i].reshape(nb, rc.pair_block) for i in range(9)]
         gid = pb.gaussian_id.reshape(nb, rc.pair_block)
-        from gaussiansplatting_tpu.ops.rasterize import _quad_coefs_cols
-
-        zeros_nb = jnp.zeros_like(cols[5])
-        coef8 = jnp.stack(
-            _quad_coefs_cols(cols[0], cols[1], cols[2], cols[3], cols[4])
-            + [zeros_nb, zeros_nb], axis=1)
-        color4 = jnp.stack([cols[6], cols[7], cols[8], zeros_nb], axis=1)
         conic_mag = jnp.abs(cols[2]) + jnp.abs(cols[3]) + jnp.abs(cols[4])
         op_eff = jnp.where((gid >= 0) & (conic_mag >= 1e-4), cols[5], 0.0)
-        return pb, coef8, op_eff, color4
+        return pb, cols, op_eff
 
     def st_blend_inputs(means):
-        _, coef8, op_eff, color4 = _blend_inputs(means)
-        return means + fold(coef8) + fold(op_eff) + fold(color4)
+        _, cols, op_eff = _blend_inputs(means)
+        return means + fold(op_eff) + sum(fold(c) for c in cols[:5])
 
     def st_blend_fwd(means):
-        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_pallas
+        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_cols
 
-        _, coef8, op_eff, color4 = _blend_inputs(means)
-        out = block_blend_pallas(
-            coef8, op_eff, color4,
+        _, cols, op_eff = _blend_inputs(means)
+        out = block_blend_cols(
+            cols[0], cols[1], cols[2], cols[3], cols[4], op_eff,
+            cols[6], cols[7], cols[8],
             (rc.tile_size, rc.power_floor, rc.alpha_cap, rc.alpha_floor),
         )
         return means + fold(out)
+
+    def st_blend_kernel_bwd(means):
+        # cumulative [pairs fwd + kernel fwd + kernel BWD]: cotangents stop
+        # at the columns, so vs blend_fwd the delta is the bwd kernel alone
+        from gaussiansplatting_tpu.ops.pallas_blend import block_blend_cols
+
+        _, cols, op_eff = _blend_inputs(means)
+        args = (cols[0], cols[1], cols[2], cols[3], cols[4], op_eff,
+                cols[6], cols[7], cols[8])
+
+        def f(*cs):
+            out = block_blend_cols(
+                *cs,
+                (rc.tile_size, rc.power_floor, rc.alpha_cap, rc.alpha_floor),
+            )
+            return jnp.sum(out)
+
+        gs = jax.grad(f, argnums=tuple(range(9)))(*args)
+        return means + sum(fold(g) for g in gs)
+
+    def st_pairs_bwd(means):
+        # cumulative [pairs fwd + pairs BWD]: vs project_pairs the delta is
+        # the pair-pipeline custom VJP (sortprefix reduction)
+        def f(m):
+            pb = _pair_cols(m)
+            return jnp.sum(pb.rows)
+
+        return means + jax.grad(f)(means) * 1e-20
 
     def st_loss(means):
         img, _ = render(params.replace(means=means), cam, rc)
@@ -133,6 +155,8 @@ def stage_times(
         "project_pairs": (st_pairs, params.means, 12),
         "blend_inputs": (st_blend_inputs, params.means, 8),
         "blend_fwd": (st_blend_fwd, params.means, 8),
+        "blend_kernel_bwd": (st_blend_kernel_bwd, params.means, 6),
+        "pairs_bwd": (st_pairs_bwd, params.means, 8),
         "forward": (st_render, params.means, 8),
         "forward_loss": (st_loss, params.means, 8),
         "forward_backward": (st_grad, params.means, 6),

@@ -15,6 +15,7 @@ densification work for its living.
 
 from __future__ import annotations
 
+import functools
 import os
 import struct
 
@@ -235,8 +236,10 @@ def render_view(R: np.ndarray, t: np.ndarray, fx: float, fy: float,
     eye = jnp.asarray(-R.T @ t, jnp.float32)
     Rt = jnp.asarray(R.T, jnp.float32)
 
-    @jax.jit
-    def go():
+    # pose is an ARGUMENT (not a closed-over constant) so all views share one
+    # compiled program instead of recompiling + constant-folding per view
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+    def go(Rt, eye, fx, fy, cx, cy, width, height):
         xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 - cx) / fx
         ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 - cy) / fy
         gx, gy = jnp.meshgrid(xs, ys)
@@ -251,7 +254,10 @@ def render_view(R: np.ndarray, t: np.ndarray, fx: float, fy: float,
         sky = _sky(jnp, d_world, sun_dir)
         return jnp.where(hit[..., None], col, sky)
 
-    return np.asarray(go(), np.float32)
+    return np.asarray(
+        go(Rt, eye, float(fx), float(fy), float(cx), float(cy), width, height),
+        np.float32,
+    )
 
 
 def sample_surface_points(n: int, seed: int = 0, noise: float = 0.01):

@@ -45,12 +45,21 @@ def main() -> None:
 
     import jax
 
-    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.config import Config, LossConfig, RasterConfig
     from gaussiansplatting_tpu.train import state as train_state
     from gaussiansplatting_tpu.train.trainer import train_step
     from gaussiansplatting_tpu.utils import synthetic
 
-    cfg = Config(raster=RasterConfig(pair_capacity=pair_cap, pair_block=128))
+    # Reference-gradient parity: the Metal trainer this bench compares
+    # against backpropagates pure L1 and uses D-SSIM only as a reported
+    # metric (tiled_shaders.metal:417-423) — so the benchmarked step does
+    # the same.  GS_BENCH_DSSIM_GRAD=1 measures the beyond-reference mode
+    # (differentiated D-SSIM, the framework default for training quality).
+    dssim_in_grad = bool(int(os.environ.get("GS_BENCH_DSSIM_GRAD", "0")))
+    cfg = Config(
+        raster=RasterConfig(pair_capacity=pair_cap, pair_block=128),
+        loss=LossConfig(dssim_in_grad=dssim_in_grad),
+    )
     params = synthetic.make_scene(n=n_gauss, seed=0)
     camera = synthetic.make_canonical_camera(width=width, height=height)
     gt = np.asarray(
@@ -106,6 +115,13 @@ def main() -> None:
                     "best_iters_per_sec": round(best_ips, 3),
                     "windows": [round(w, 3) for w in windows],
                     "num_pairs": int(metrics.num_pairs),
+                    "dssim_in_grad": dssim_in_grad,
+                    "loss_semantics": (
+                        "reference parity: L1-only backward "
+                        "(tiled_shaders.metal:417-423); D-SSIM metric-only"
+                        if not dssim_in_grad
+                        else "beyond-reference: D-SSIM differentiated"
+                    ),
                     "stages_ms_cumulative": {
                         k: round(v, 2) for k, v in stages.items()
                     },

@@ -199,6 +199,56 @@ def main(argv=None) -> int:
         s = jax.lax.sort((k, v), num_keys=1)
         return c + tick(s[1])
 
+    # ---- LIVE-payload sorts: every output consumed.  The earlier sort
+    # cases let XLA DCE unused payload operands entirely — measured cost
+    # was a 1-2 operand sort regardless of the declared operand count. ----
+    def _live_sort(c, cols, nkeys=1):
+        k = keys + c.astype(jnp.int32)
+        s = jax.lax.sort((k,) + tuple(cols), num_keys=nkeys)
+        return c + sum(tick(x.astype(jnp.float32)) for x in s[1:])
+
+    @case("sortlive_1op_f32")
+    def _(c):
+        return _live_sort(c, (vals,))
+
+    @case("sortlive_4op_f32")
+    def _(c):
+        return _live_sort(c, tuple(big16[:, i] for i in range(4)))
+
+    @case("sortlive_10op_f32")
+    def _(c):
+        return _live_sort(c, tuple(big16[:, i] for i in range(10)))
+
+    @case("sortlive_10op_bf16")
+    def _(c):
+        cols = tuple(big16[:, i].astype(jnp.bfloat16) for i in range(10))
+        return _live_sort(c, cols)
+
+    @case("sortlive_10op_i8")
+    def _(c):
+        cols = tuple((idx_rand + i).astype(jnp.int8) for i in range(10))
+        return _live_sort(c, cols)
+
+    @case("sortlive_5op_i32packed")  # 10 bf16 halves packed into 5 i32
+    def _(c):
+        cols = tuple(
+            (big16[:, 2 * i].astype(jnp.bfloat16).view(jnp.uint16)
+             .astype(jnp.uint32) << 16
+             | big16[:, 2 * i + 1].astype(jnp.bfloat16).view(jnp.uint16)
+             .astype(jnp.uint32)).astype(jnp.int32)
+            for i in range(5)
+        )
+        return _live_sort(c, cols)
+
+    @case("transpose_rows9_to_cols")  # [m, 9] -> [9, m] lane relayout
+    def _(c):
+        return c + tick((big9 + c).T)
+
+    @case("stack9_lane_live")  # 9 x [m] -> [m, 9]
+    def _(c):
+        cols = [big16[:, i] + c for i in range(9)]
+        return c + tick(jnp.stack(cols, axis=-1))
+
     sel = args.cases.split(",") if args.cases else list(cases)
     results = {}
     for name in sel:

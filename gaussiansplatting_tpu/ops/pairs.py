@@ -7,10 +7,20 @@ The reference generates pairs with a dynamic atomic write cursor
 module re-derives the same result functionally, shaped by the measured v5e
 cost model (tools/microbench.py, docs/DESIGN.md):
 
-  * random gathers cost ~7-10 ns/index and row scatters are pathological,
-    but ``lax.sort`` is ~5 ms for 2M pairs REGARDLESS of payload width —
-    so per-pair render data (screen pos, conic, opacity, color) rides the
-    sort as payload operands instead of being re-gathered afterwards;
+  * the measured v5e cost model (tools/microbench.py, LIVE-payload cases):
+    random gathers cost ~7-10 ns/index (22 ms at 2M indices, independent of
+    row width), ``lax.sort`` costs ~0.8 ms per LIVE operand per 2M rows on
+    top of a ~3-5 ms keys base (dtype-independent: bf16 payload = f32
+    payload), and row-stacks/transposes are ~free (0.1-0.3 ms at 2M).  So:
+    - the expansion gather runs at CHUNK granularity: each Gaussian's run is
+      padded to multiples of ``PAIR_CHUNK`` pairs, per-run metadata + render
+      data are gathered once per chunk (~8x fewer random indices) and
+      broadcast to the chunk's lanes (bandwidth-only);
+    - the render data rides both sorts as payload operands: device traces
+      show payload costs ~1 ms/operand per 3M rows, while the alternative
+      (thin sorts + one aligned-order row-gather from a packed table) pays
+      ~14 ns/row for the gather plus a pathological row-table broadcast —
+      measured ~46 ms vs the fat sorts' ~32 ms;
   * the block-aligned layout (every tile's run padded to a multiple of
     ``block`` so each render block touches one tile) is produced by a
     SECOND sort: each pair's aligned destination is computed with a cummax
@@ -46,6 +56,20 @@ def _float0(x):
     import numpy as np
 
     return np.zeros(x.shape, jax.dtypes.float0)
+
+
+# pairs per expansion chunk: the per-Gaussian metadata/render-data gather
+# runs once per chunk, then broadcasts to the chunk's lanes
+PAIR_CHUNK = 8
+
+
+def _chunk_capacity(pair_capacity: int, n: int) -> int:
+    """Static chunk-slot capacity: enough chunks for pair_capacity fully
+    packed pairs plus per-Gaussian padding waste (< PAIR_CHUNK-1 each for up
+    to n live Gaussians, capped so huge Gaussian capacities don't balloon
+    the sort rows)."""
+    base = -(-pair_capacity // PAIR_CHUNK)
+    return base + min(n, base)
 
 
 def _run_ids(starts: jnp.ndarray, run_live: jnp.ndarray, num_slots: int) -> jnp.ndarray:
@@ -118,31 +142,41 @@ def build_pair_rows(
     span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
     span_x = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
     counts = jnp.where(proj.n_tiles > 0, span_x * span_y, 0).astype(jnp.int32)
-    cum = jnp.cumsum(counts)                 # inclusive
-    offsets = cum - counts                   # exclusive
-    total = cum[-1] if n > 0 else jnp.int32(0)
-
-    # Capacity bound: drop Gaussians whose run would cross the end
-    # (reference: writePos + tileCount > maxPairs -> return).
-    fits = (offsets + counts) <= pair_capacity
-    counts = jnp.where(fits, counts, 0)
-    overflow = total > pair_capacity
-    cum = jnp.cumsum(counts)
+    ccounts = -(-counts // PAIR_CHUNK)       # chunks per Gaussian
+    chunk_cap = _chunk_capacity(pair_capacity, n)
+    cum = jnp.cumsum(counts)                 # inclusive (real pairs)
     offsets = cum - counts
+    ccum = jnp.cumsum(ccounts)
+    coffsets = ccum - ccounts
+    total = cum[-1] if n > 0 else jnp.int32(0)
+    ctotal = ccum[-1] if n > 0 else jnp.int32(0)
+
+    # Capacity bound: drop Gaussians whose run would cross the end of either
+    # the real-pair or the chunk-slot capacity (reference: writePos +
+    # tileCount > maxPairs -> return, tiled_shaders.metal:779-780).
+    fits = ((offsets + counts) <= pair_capacity) & (
+        (coffsets + ccounts) <= chunk_cap
+    )
+    counts = jnp.where(fits, counts, 0)
+    ccounts = jnp.where(fits, ccounts, 0)
+    overflow = (total > pair_capacity) | (ctotal > chunk_cap)
+    cum = jnp.cumsum(counts)
+    coffsets = jnp.cumsum(ccounts) - ccounts
+    total = jnp.minimum(cum[-1], pair_capacity) if n > 0 else jnp.int32(0)
 
     cfg = (int(n), int(pair_capacity), int(tiles_x), int(tiles_y),
-           int(block), str(grad_reduce))
+           int(block), str(grad_reduce), int(chunk_cap))
     if grad_reduce == "autodiff":
         # plain-ops path (no custom VJP): forward-mode differentiable, used
         # by the JVP-vs-VJP AD consistency tests; its reverse-mode transpose
         # is a chain of per-stage scatters — correct but slow
         (gid_a, rows_a, block_tile, num_pairs), _ = _pair_rows_fwd(
-            data, proj.depth, row0, counts, offsets, ty_lo,
+            data, proj.depth, row0, total, counts, ccounts, coffsets, ty_lo,
             proj.tile_min[:, 0], span_x, cfg,
         )
     else:
         gid_a, rows_a, block_tile, num_pairs = _pair_rows(
-            data, proj.depth, row0, counts, offsets, ty_lo,
+            data, proj.depth, row0, total, counts, ccounts, coffsets, ty_lo,
             proj.tile_min[:, 0], span_x, cfg,
         )
     return PairRows(
@@ -154,37 +188,44 @@ def build_pair_rows(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _pair_rows(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _pair_rows(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
+               tmin_x, span_x, cfg):
     out, _ = _pair_rows_fwd(
-        data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg
+        data, depth, row0, total, counts, ccounts, coffsets, ty_lo, tmin_x,
+        span_x, cfg,
     )
     return out
 
 
-def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cfg):
-    n, p_cap, tiles_x, tiles_y, block, _ = cfg
+def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
+                   tmin_x, span_x, cfg):
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
     num_tiles = tiles_x * tiles_y
     a_cap = aligned_capacity(p_cap, num_tiles, block)
     num_blocks = a_cap // block
     d = data.shape[-1]
     i32max = jnp.int32(2**31 - 1)
+    e_cap = chunk_cap * PAIR_CHUNK           # expansion rows (padded pairs)
 
-    # ---- expand: slot j belongs to the Gaussian whose run covers j ----
-    slots = jnp.arange(p_cap, dtype=jnp.int32)
-    total = jnp.minimum(
-        (offsets[-1] + counts[-1]) if n > 0 else jnp.int32(0), p_cap
+    # ---- two-tier expansion: chunk slot -> Gaussian (gather), chunk ->
+    #      PAIR_CHUNK lanes (broadcast).  The chunk-level gather touches
+    #      ~8x fewer random indices than a per-pair gather (the dominant
+    #      cost at 2M pairs, tools/microbench.py: 22 ms/2M idx) ----
+    cslots = jnp.arange(chunk_cap, dtype=jnp.int32)
+    ctotal = jnp.minimum(
+        (coffsets[-1] + ccounts[-1]) if n > 0 else jnp.int32(0), chunk_cap
     )
-    gid = _run_ids(offsets, counts > 0, p_cap)
-    gid = jnp.clip(gid, 0, n - 1)
-    slot_valid = slots < total
+    cgid = _run_ids(coffsets, ccounts > 0, chunk_cap)
+    cgid = jnp.clip(cgid, 0, n - 1)
+    cvalid = cslots < ctotal
 
-    # one row-gather fetches BOTH the rect metadata and the render data for
-    # each slot (row width is free at these sizes — the gather is
-    # latency-bound per index, tools/microbench.py)
+    # one chunk-level row-gather fetches rect metadata AND render data
+    # (row width is free — the gather is latency-bound per index)
     table = jnp.concatenate(
         [
-            offsets.astype(jnp.float32)[:, None],
+            coffsets.astype(jnp.float32)[:, None],
+            counts.astype(jnp.float32)[:, None],
             span_x.astype(jnp.float32)[:, None],
             ty_lo.astype(jnp.float32)[:, None],
             tmin_x.astype(jnp.float32)[:, None],
@@ -192,25 +233,38 @@ def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cf
             data,
         ],
         axis=-1,
-    )  # [N, 5 + D]; integer fields exact in fp32 (all < 2^24)
-    rows = table[gid]  # [p_cap, 5 + D]
-    offset_g = rows[:, 0].astype(jnp.int32)
-    span_x_g = jnp.maximum(rows[:, 1].astype(jnp.int32), 1)
-    ty_lo_g = rows[:, 2].astype(jnp.int32)
-    tmin_x_g = rows[:, 3].astype(jnp.int32)
-    depth_s = jnp.where(slot_valid, rows[:, 4], jnp.inf)
+    )  # [N, 6 + D]; integer fields exact in fp32 (all < 2^24)
+    crows = table[cgid]  # [chunk_cap, 6 + D]
+    crank = cslots - crows[:, 0].astype(jnp.int32)
 
-    rank = slots - offset_g
-    ty = ty_lo_g + rank // span_x_g
-    tx = tmin_x_g + rank % span_x_g
+    def bcast(x):  # [chunk_cap] -> [e_cap] chunk-to-lane broadcast
+        return jnp.broadcast_to(x[:, None], (chunk_cap, PAIR_CHUNK)).reshape(-1)
+
+    lane = jnp.broadcast_to(
+        jnp.arange(PAIR_CHUNK, dtype=jnp.int32)[None, :],
+        (chunk_cap, PAIR_CHUNK),
+    ).reshape(-1)
+    rank = bcast(crank * PAIR_CHUNK) + lane
+    count_p = bcast(crows[:, 1].astype(jnp.int32))
+    span_p = jnp.maximum(bcast(crows[:, 2].astype(jnp.int32)), 1)
+    slot_valid = bcast(cvalid) & (rank < count_p)
+
+    ty = bcast(crows[:, 3].astype(jnp.int32)) + rank // span_p
+    tx = bcast(crows[:, 4].astype(jnp.int32)) + rank % span_p
+    depth_s = jnp.where(slot_valid, bcast(crows[:, 5]), jnp.inf)
     tile_id = jnp.where(
         slot_valid, (ty - row0) * tiles_x + tx, num_tiles
     ).astype(jnp.int32)
-    gid_v = jnp.where(slot_valid, gid, -1)
+    gid_v = jnp.where(slot_valid, bcast(cgid), -1)
 
     # ---- sort #1: lexicographic by (tile, depth); the render data rides as
-    #      payload operands (sort cost is ~independent of operand count) ----
-    ops = (tile_id, depth_s, gid_v) + tuple(rows[:, 5 + j] for j in range(d))
+    #      payload operands.  Payload costs ~1 ms/operand per 3M rows on top
+    #      of the keys base (device-trace measured) — CHEAPER than the
+    #      alternative of thin sorts + one aligned-order row-gather, which
+    #      pays ~14 ns/row for the gather plus a row-table relayout ----
+    ops = (tile_id, depth_s, gid_v) + tuple(
+        bcast(crows[:, 6 + j]) for j in range(d)
+    )
     s = jax.lax.sort(ops, num_keys=2)
     sorted_tile, sorted_gid = s[0], s[2]
     sorted_data = s[3:]
@@ -231,12 +285,12 @@ def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cf
     #      before the tile) is non-decreasing over the sorted order, so a
     #      tiny scatter at run starts + cummax broadcasts it ----
     shift_t = aligned_starts - tile_starts          # [T] >= 0, non-decreasing
-    seed = jnp.zeros((p_cap,), jnp.int32).at[
-        jnp.where(tile_counts > 0, tile_starts, p_cap)
+    seed = jnp.zeros((e_cap,), jnp.int32).at[
+        jnp.where(tile_counts > 0, tile_starts, e_cap)
     ].max(shift_t, mode="drop")
     shift = jax.lax.cummax(seed)
-    pos = jnp.arange(p_cap, dtype=jnp.int32)
-    live = pos < total
+    pos = jnp.arange(e_cap, dtype=jnp.int32)
+    live = pos < total        # real pairs sort before all invalid pad rows
     apos = jnp.where(live, pos + shift, i32max)
 
     # ---- hole fillers: tile t needs (aligned - count) pads at positions
@@ -261,9 +315,8 @@ def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cf
     out_pos = jnp.arange(l2, dtype=jnp.int32)
     in_aligned = out_pos < aligned_total
     gid_aligned = jnp.where(in_aligned, s2[1], -1)
-    # COLUMN-major [D, l2]: stacking 1-D sort outputs along a NEW LEADING
-    # axis is a plain memcpy; stacking along the lane axis ([l2, D]) is a
-    # full relayout transpose that measures tens of ms at 2M pairs
+    # column-major [D, l2]: stacking 1-D sort outputs along a NEW LEADING
+    # axis is a plain memcpy
     rows_aligned = jnp.stack(s2[2:], axis=0)
 
     pad_tail = a_cap - l2
@@ -293,7 +346,7 @@ def _pair_rows_fwd(data, depth, row0, counts, offsets, ty_lo, tmin_x, span_x, cf
 
 
 def _pair_rows_bwd(cfg, res, cts):
-    n, p_cap, tiles_x, tiles_y, block, grad_reduce = cfg
+    n, p_cap, tiles_x, tiles_y, block, grad_reduce, _ = cfg
     gid_aligned, counts = res
     d_rows = cts[1]                                   # [D, a_cap]
     d = d_rows.shape[0]
@@ -325,8 +378,10 @@ def _pair_rows_bwd(cfg, res, cts):
         d_data,
         jnp.zeros((n,), jnp.float32),   # depth (sort keys carry no gradient)
         _float0(jnp.zeros((), jnp.int32)),   # row0
+        _float0(jnp.zeros((), jnp.int32)),   # total
         zero_i32((n,)),                 # counts
-        zero_i32((n,)),                 # offsets
+        zero_i32((n,)),                 # ccounts
+        zero_i32((n,)),                 # coffsets
         zero_i32((n,)),                 # ty_lo
         zero_i32((n,)),                 # tmin_x
         zero_i32((n,)),                 # span_x

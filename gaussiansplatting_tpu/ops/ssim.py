@@ -40,28 +40,37 @@ def _gauss_kernel_1d(window: int, sigma: float):
     return jnp.asarray(_gauss_kernel_1d_np(window, sigma))
 
 
+@functools.lru_cache(maxsize=16)
+def _band_matrix_np(size: int, window: int, sigma: float):
+    """[size, size] band matrix B with replicate-edge semantics:
+    (x @ B)[j] = sum_d k[d] * x[clip(j + d - r, 0, size-1)]."""
+    import numpy as np
+
+    k = _gauss_kernel_1d_np(window, sigma)
+    r = window // 2
+    b = np.zeros((size, size), np.float32)
+    for d in range(window):
+        src = np.clip(np.arange(size) + d - r, 0, size - 1)
+        np.add.at(b, (src, np.arange(size)), k[d])
+    return b
+
+
 def _blur_many(imgs: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of K stacked [K, H, W] planes with replicate
-    padding — ONE batched conv pair instead of K separate 1-channel convs
-    (single-image convs map poorly onto the TPU conv units)."""
-    k = _gauss_kernel_1d(window, sigma)
-    r = window // 2
-    x = jnp.pad(imgs, ((0, 0), (r, r), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[:, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    padding, as two BAND-MATRIX MATMULS on the MXU.  XLA's conv path for
+    single-channel planes picks a 1-sublane layout that runs ~8x below the
+    VPU's width (device-trace measured ~18 ms/step at 800x608); the same
+    blur as [K*H, W] @ [W, W] and [H, H]^T @ ... is ~0.5 ms of MXU work.
+    HIGHEST precision keeps fp32 accuracy through the bf16-pass MXU."""
+    kk, h, w = imgs.shape
+    bw = jnp.asarray(_band_matrix_np(w, window, sigma))
+    bh = jnp.asarray(_band_matrix_np(h, window, sigma))
+    x = jnp.einsum(
+        "khw,wv->khv", imgs, bw, precision=jax.lax.Precision.HIGHEST
     )
-    x = jax.lax.conv_general_dilated(
-        x,
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    return jnp.einsum(
+        "khv,hu->kuv", x, bh, precision=jax.lax.Precision.HIGHEST
     )
-    return x[:, 0]
 
 
 def _blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:

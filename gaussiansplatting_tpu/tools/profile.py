@@ -127,11 +127,26 @@ def stage_times(
         return means + sum(fold(g) for g in gs)
 
     def st_pairs_bwd(means):
-        # cumulative [pairs fwd + pairs BWD]: vs project_pairs the delta is
-        # the pair-pipeline custom VJP (sortprefix reduction)
+        # cumulative [pairs fwd + pairs BWD]: vs blend_inputs the delta is
+        # the pair-pipeline custom VJP (sortprefix reduction).  The weight
+        # makes the cotangent position-dependent — a uniform-ones cotangent
+        # lets XLA fold the backward sort's payload away.
         def f(m):
             pb = _pair_cols(m)
-            return jnp.sum(pb.rows)
+            w = jnp.arange(pb.rows.size, dtype=jnp.float32).reshape(
+                pb.rows.shape
+            ) * 1e-7
+            return jnp.sum(pb.rows * w)
+
+        return means + jax.grad(f)(means) * 1e-20
+
+    def st_render_bwd(means):
+        # cumulative full render fwd + bwd WITHOUT the loss: vs
+        # forward_backward the delta is the loss backward; minus
+        # blend_kernel_bwd/pairs_bwd deltas it isolates the compose backward
+        def f(m):
+            img, _ = render(params.replace(means=m), cam, rc)
+            return jnp.sum(img)
 
         return means + jax.grad(f)(means) * 1e-20
 
@@ -157,6 +172,7 @@ def stage_times(
         "blend_fwd": (st_blend_fwd, params.means, 8),
         "blend_kernel_bwd": (st_blend_kernel_bwd, params.means, 6),
         "pairs_bwd": (st_pairs_bwd, params.means, 8),
+        "render_bwd": (st_render_bwd, params.means, 6),
         "forward": (st_render, params.means, 8),
         "forward_loss": (st_loss, params.means, 8),
         "forward_backward": (st_grad, params.means, 6),

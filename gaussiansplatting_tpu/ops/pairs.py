@@ -111,6 +111,43 @@ def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
     return pair_capacity + num_tiles * block
 
 
+def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0):
+    """Per-Gaussian pair/chunk counts with the capacity drop applied.
+
+    Intersects each Gaussian's tile rect with the strip's row range, then
+    drops Gaussians whose run would cross the end of either the real-pair
+    or the chunk-slot capacity (reference: writePos + tileCount > maxPairs
+    -> return, tiled_shaders.metal:779-780).
+
+    Returns (counts, ccounts, coffsets, ty_lo, span_x, total, overflow).
+    """
+    n = proj.depth.shape[0]
+    chunk_cap = _chunk_capacity(pair_capacity, n)
+    ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
+    ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
+    span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
+    span_x = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+    counts = jnp.where(proj.n_tiles > 0, span_x * span_y, 0).astype(jnp.int32)
+    ccounts = -(-counts // PAIR_CHUNK)       # chunks per Gaussian
+    cum = jnp.cumsum(counts)                 # inclusive (real pairs)
+    offsets = cum - counts
+    ccum = jnp.cumsum(ccounts)
+    coffsets = ccum - ccounts
+    total = cum[-1] if n > 0 else jnp.int32(0)
+    ctotal = ccum[-1] if n > 0 else jnp.int32(0)
+
+    fits = ((offsets + counts) <= pair_capacity) & (
+        (coffsets + ccounts) <= chunk_cap
+    )
+    counts = jnp.where(fits, counts, 0)
+    ccounts = jnp.where(fits, ccounts, 0)
+    overflow = (total > pair_capacity) | (ctotal > chunk_cap)
+    cum = jnp.cumsum(counts)
+    coffsets = jnp.cumsum(ccounts) - ccounts
+    total = jnp.minimum(cum[-1], pair_capacity) if n > 0 else jnp.int32(0)
+    return counts, ccounts, coffsets, ty_lo, span_x, total, overflow
+
+
 def build_pair_rows(
     proj: Projected,
     data: jnp.ndarray,       # [N, D] differentiable per-Gaussian render data
@@ -135,34 +172,9 @@ def build_pair_rows(
     """
     n = proj.depth.shape[0]
     row0 = jnp.asarray(row0, jnp.int32)
-
-    # intersect each Gaussian's tile rect with the strip's row range
-    ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
-    ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
-    span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
-    span_x = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
-    counts = jnp.where(proj.n_tiles > 0, span_x * span_y, 0).astype(jnp.int32)
-    ccounts = -(-counts // PAIR_CHUNK)       # chunks per Gaussian
+    plan = capacity_plan(proj, tiles_x, tiles_y, pair_capacity, row0)
+    counts, ccounts, coffsets, ty_lo, span_x, total, overflow = plan
     chunk_cap = _chunk_capacity(pair_capacity, n)
-    cum = jnp.cumsum(counts)                 # inclusive (real pairs)
-    offsets = cum - counts
-    ccum = jnp.cumsum(ccounts)
-    coffsets = ccum - ccounts
-    total = cum[-1] if n > 0 else jnp.int32(0)
-    ctotal = ccum[-1] if n > 0 else jnp.int32(0)
-
-    # Capacity bound: drop Gaussians whose run would cross the end of either
-    # the real-pair or the chunk-slot capacity (reference: writePos +
-    # tileCount > maxPairs -> return, tiled_shaders.metal:779-780).
-    fits = ((offsets + counts) <= pair_capacity) & (
-        (coffsets + ccounts) <= chunk_cap
-    )
-    counts = jnp.where(fits, counts, 0)
-    ccounts = jnp.where(fits, ccounts, 0)
-    overflow = (total > pair_capacity) | (ctotal > chunk_cap)
-    cum = jnp.cumsum(counts)
-    coffsets = jnp.cumsum(ccounts) - ccounts
-    total = jnp.minimum(cum[-1], pair_capacity) if n > 0 else jnp.int32(0)
 
     cfg = (int(n), int(pair_capacity), int(tiles_x), int(tiles_y),
            int(block), str(grad_reduce), int(chunk_cap))
@@ -198,14 +210,14 @@ def _pair_rows(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
     return out
 
 
-def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
-                   tmin_x, span_x, cfg):
+def _expand_and_sort1(data, depth, row0, counts, ccounts, coffsets, ty_lo,
+                      tmin_x, span_x, cfg):
+    """Two-tier expansion + the (tile, depth) payload sort.
+
+    Returns (sorted_tile, sorted_gid, sorted_data tuple, e_cap)."""
     n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
     num_tiles = tiles_x * tiles_y
-    a_cap = aligned_capacity(p_cap, num_tiles, block)
-    num_blocks = a_cap // block
     d = data.shape[-1]
-    i32max = jnp.int32(2**31 - 1)
     e_cap = chunk_cap * PAIR_CHUNK           # expansion rows (padded pairs)
 
     # ---- two-tier expansion: chunk slot -> Gaussian (gather), chunk ->
@@ -266,11 +278,14 @@ def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
         bcast(crows[:, 6 + j]) for j in range(d)
     )
     s = jax.lax.sort(ops, num_keys=2)
-    sorted_tile, sorted_gid = s[0], s[2]
-    sorted_data = s[3:]
+    return s[0], s[2], s[3:], e_cap
 
-    # ---- per-tile runs: starts via searchsorted (num_tiles+1 queries is
-    #      cheap; per-PAIR queries would not be, see _run_ids) ----
+
+def _tile_runs(sorted_tile, num_tiles, block):
+    """Per-tile run starts/counts and their block-aligned layout.
+
+    starts via searchsorted (num_tiles+1 queries is cheap; per-PAIR queries
+    would not be, see _run_ids)."""
     q = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     tile_starts_all = jnp.searchsorted(sorted_tile, q, side="left").astype(jnp.int32)
     tile_starts = tile_starts_all[:num_tiles]
@@ -279,6 +294,37 @@ def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
     aligned_cum = jnp.cumsum(aligned_counts)
     aligned_starts = aligned_cum - aligned_counts
     aligned_total = aligned_cum[-1] if num_tiles > 0 else jnp.int32(0)
+    return tile_starts, tile_counts, aligned_counts, aligned_starts, aligned_total
+
+
+def _block_tiles(aligned_starts, aligned_counts, aligned_total, num_tiles,
+                 block, num_blocks):
+    """Tile id of each aligned block (blocks never straddle tiles)."""
+    block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    block_tile = _run_ids(aligned_starts // block, aligned_counts > 0, num_blocks)
+    block_tile = jnp.where(
+        block_starts < aligned_total,
+        jnp.clip(block_tile, 0, num_tiles - 1),
+        num_tiles,
+    ).astype(jnp.int32)
+    return block_tile
+
+
+def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
+                   tmin_x, span_x, cfg):
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
+    num_tiles = tiles_x * tiles_y
+    a_cap = aligned_capacity(p_cap, num_tiles, block)
+    num_blocks = a_cap // block
+    d = data.shape[-1]
+    i32max = jnp.int32(2**31 - 1)
+
+    sorted_tile, sorted_gid, sorted_data, e_cap = _expand_and_sort1(
+        data, depth, row0, counts, ccounts, coffsets, ty_lo, tmin_x, span_x,
+        cfg,
+    )
+    (tile_starts, tile_counts, aligned_counts, aligned_starts,
+     aligned_total) = _tile_runs(sorted_tile, num_tiles, block)
 
     # ---- aligned destination per sorted pair WITHOUT per-pair gathers:
     #      apos = pos + shift[tile], and shift (cumulative padding inserted
@@ -332,25 +378,74 @@ def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
         gid_aligned = gid_aligned[:a_cap]
         rows_aligned = rows_aligned[:, :a_cap]
 
-    # ---- tile id of each block (blocks never straddle tiles) ----
-    block_starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
-    block_tile = _run_ids(aligned_starts // block, aligned_counts > 0, num_blocks)
-    block_tile = jnp.where(
-        block_starts < aligned_total,
-        jnp.clip(block_tile, 0, num_tiles - 1),
-        num_tiles,
-    ).astype(jnp.int32)
+    block_tile = _block_tiles(
+        aligned_starts, aligned_counts, aligned_total, num_tiles, block,
+        num_blocks,
+    )
 
     out = (gid_aligned, rows_aligned, block_tile, total)
     return out, (gid_aligned, counts)
 
 
-def _pair_rows_bwd(cfg, res, cts):
-    n, p_cap, tiles_x, tiles_y, block, grad_reduce, _ = cfg
-    gid_aligned, counts = res
-    d_rows = cts[1]                                   # [D, a_cap]
+def pair_windows_fwd(data, depth, row0, counts, ccounts, coffsets, ty_lo,
+                     tmin_x, span_x, cfg):
+    """Forward machinery for the WINDOWED blend path: expansion + the fat
+    (tile, depth) sort, then per-aligned-block source windows instead of a
+    second alignment sort — aligned block b of tile t reads the contiguous
+    sorted-order window [block_src[b], block_src[b] + block) with the first
+    block_valid[b] lanes live.  The blend kernel DMAs these windows
+    directly (ops/pallas_blend.py), replacing the ~27 ms destination sort
+    with ~3 ms of block DMA (device-trace measured).
+
+    Returns (table [16, EP], block_src, block_valid, block_tile,
+    aligned_total) where table rows are [gid, data0..D-1, zeros...] and EP
+    pads e_cap so every 2*block over-fetch stays in bounds.
+    """
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
+    num_tiles = tiles_x * tiles_y
+    a_cap = aligned_capacity(p_cap, num_tiles, block)
+    num_blocks = a_cap // block
+    d = data.shape[-1]
+
+    sorted_tile, sorted_gid, sorted_data, e_cap = _expand_and_sort1(
+        data, depth, row0, counts, ccounts, coffsets, ty_lo, tmin_x, span_x,
+        cfg,
+    )
+    (tile_starts, tile_counts, aligned_counts, aligned_starts,
+     aligned_total) = _tile_runs(sorted_tile, num_tiles, block)
+    block_tile = _block_tiles(
+        aligned_starts, aligned_counts, aligned_total, num_tiles, block,
+        num_blocks,
+    )
+
+    # table [16, EP]: row 0 = gid (exact in f32), rows 1..D = render data
+    table = jnp.stack(
+        (sorted_gid.astype(jnp.float32),) + tuple(sorted_data), axis=0
+    )
+    ep = -(-(e_cap + 2 * block) // 512) * 512
+    table = jnp.pad(table, ((0, 16 - table.shape[0]), (0, ep - e_cap)))
+
+    # per-block source window: start + live lane count (tiny [NB] gathers)
+    t_idx = jnp.minimum(block_tile, num_tiles - 1)
+    ts_b = tile_starts[t_idx]
+    as_b = aligned_starts[t_idx]
+    cnt_b = tile_counts[t_idx]
+    b_start = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    src0 = ts_b + (b_start - as_b)
+    live = block_tile < num_tiles
+    block_valid = jnp.where(
+        live, jnp.clip(ts_b + cnt_b - src0, 0, block), 0
+    ).astype(jnp.int32)
+    block_src = jnp.clip(jnp.where(live, src0, 0), 0, e_cap).astype(jnp.int32)
+    return table, block_src, block_valid, block_tile, aligned_total
+
+
+def reduce_aligned_cotangents(d_rows, gid_aligned, counts, n,
+                              grad_reduce="sortprefix"):
+    """Per-Gaussian sums of aligned-order cotangents d_rows [D, a_cap]
+    (the deterministic replacement for the reference's per-field atomics,
+    tiled_shaders.metal:698-736).  Returns [N, D]."""
     d = d_rows.shape[0]
-    a_cap = d_rows.shape[1]
 
     if grad_reduce == "scatter":
         # one fused duplicate-index scatter-add (deterministic order under
@@ -372,6 +467,16 @@ def _pair_rows_bwd(cfg, res, cts):
         )
         ends = jnp.cumsum(counts)                     # [N] run ends (1-based)
         d_data = csum[ends] - csum[ends - counts]
+    return d_data
+
+
+def _pair_rows_bwd(cfg, res, cts):
+    n, p_cap, tiles_x, tiles_y, block, grad_reduce, _ = cfg
+    gid_aligned, counts = res
+    d_rows = cts[1]                                   # [D, a_cap]
+    d_data = reduce_aligned_cotangents(
+        d_rows, gid_aligned, counts, n, grad_reduce
+    )
 
     zero_i32 = lambda shape: _float0(jnp.zeros(shape, jnp.int32))  # noqa: E731
     return (

@@ -432,3 +432,249 @@ def _bwd_tf(cfg_consts, residuals, g):
 
 
 block_blend_cols_tf.defvjp(_fwd_tf, _bwd_tf)
+
+
+# ---------------------------------------------------------------------------
+# Windowed variants: blocks read their pairs straight from the (tile, depth)-
+# sorted table via per-block DMA windows (ops/pairs.py::pair_windows_fwd) —
+# no destination sort ever materializes an aligned array.  Window starts are
+# arbitrary, and Mosaic requires 128-aligned dynamic lane offsets, so each
+# block over-fetches the two aligned 128-lane tiles covering its window and
+# rotates in-register (pltpu.roll) by the residual offset (~3 ms for 18k
+# blocks at 800x608, vs ~27 ms for the destination sort it replaces).
+# ---------------------------------------------------------------------------
+
+
+def _win_cols(w, valid, tcx, tcy):
+    """Extract the kernel columns from a rolled [16, B] window.
+
+    Rows: 0=gid, 1=sx, 2=sy, 3..5=conic, 6=opacity, 7..9=rgb."""
+    b = w.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    mask = lane < valid
+    gid = jnp.where(mask, w[0:1], -1.0)
+    mx = w[1:2] - tcx
+    my = w[2:3] - tcy
+    ca, cb, cc = w[3:4], w[4:5], w[5:6]
+    conic_mag = jnp.abs(ca) + jnp.abs(cb) + jnp.abs(cc)
+    op = jnp.where(mask & (conic_mag >= 1e-4), w[6:7], 0.0)
+    cr, cg, cbl = w[7:8], w[8:9], w[9:10]
+    return gid, mx, my, ca, cb, cc, op, cr, cg, cbl
+
+
+def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
+    start = src_ref[g * GROUP + i]
+    a0 = (start // b) * b
+    return pltpu.make_async_copy(
+        tbl_ref.at[:, pl.ds(a0, 2 * b)], scratch.at[i], sems.at[i]
+    ), start - a0
+
+
+def _fwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
+                    out_ref, gid_ref, scratch, sems, *, cfg_consts):
+    _, power_floor, alpha_cap, alpha_floor = cfg_consts
+    g = pl.program_id(0)
+    b = gid_ref.shape[-1]
+    nlive = valid_ref[g * GROUP]
+    for i in range(1, GROUP):
+        nlive = nlive + valid_ref[g * GROUP + i]
+
+    @pl.when(nlive > 0)
+    def _():
+        offs = []
+        for i in range(GROUP):
+            cp, off = _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b)
+            cp.start()
+            offs.append((cp, off))
+        feats = feats_ref[:]
+        tril = _tri_lower(b)
+        for i in range(GROUP):
+            cp, off = offs[i]
+            cp.wait()
+            w = pltpu.roll(scratch[i], -off, 1)[:, :b]
+            gid, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
+                w, valid_ref[g * GROUP + i],
+                tcx_ref[g * GROUP + i], tcy_ref[g * GROUP + i],
+            )
+            coef = _coef8(mx, my, ca, cb, cc)
+            _, _, a, l, _ = _replay(
+                coef, op, feats, power_floor, alpha_cap, alpha_floor
+            )
+            cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+            t = jnp.exp(cum_incl - l)
+            wgt = a * t
+            z = jnp.zeros_like(cr)
+            color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
+            cbt = jax.lax.dot_general(
+                color4, wgt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_b = jnp.sum(l, axis=-1)
+            row = jax.lax.broadcasted_iota(jnp.int32, cbt.shape, 0)
+            out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
+            gid_ref[i] = gid[0]
+
+    @pl.when(nlive == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+        gid_ref[...] = jnp.full(gid_ref.shape, -1.0, jnp.float32)
+
+
+def _bwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
+                    g_ref, *refs, cfg_consts):
+    (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
+     dop_ref, dcr_ref, dcg_ref, dcb2_ref, scratch, sems) = refs
+    _, power_floor, alpha_cap, alpha_floor = cfg_consts
+    g = pl.program_id(0)
+    b = dop_ref.shape[-1]
+    nlive = valid_ref[g * GROUP]
+    for i in range(1, GROUP):
+        nlive = nlive + valid_ref[g * GROUP + i]
+
+    @pl.when(nlive > 0)
+    def _():
+        offs = []
+        for i in range(GROUP):
+            cp, off = _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b)
+            cp.start()
+            offs.append((cp, off))
+        feats = feats_ref[:]
+        tril = _tri_lower(b)
+        triu = _tri_upper_strict(b)
+        for i in range(GROUP):
+            cp, off = offs[i]
+            cp.wait()
+            w = pltpu.roll(scratch[i], -off, 1)[:, :b]
+            _, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
+                w, valid_ref[g * GROUP + i],
+                tcx_ref[g * GROUP + i], tcy_ref[g * GROUP + i],
+            )
+            coef = _coef8(mx, my, ca, cb, cc)
+            power, a_raw, a, l, mask = _replay(
+                coef, op, feats, power_floor, alpha_cap, alpha_floor
+            )
+            cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+            t = jnp.exp(cum_incl - l)
+            wgt = a * t
+
+            gg = g_ref[i]                      # [4, P2]; rows 0-2 = dC, 3 = dS
+            row = jax.lax.broadcasted_iota(jnp.int32, gg.shape, 0)
+            g_c = jnp.where(row == 3, 0.0, gg)
+            g_s = gg[3, :]
+
+            z = jnp.zeros_like(cr)
+            color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
+            e = jax.lax.dot_general(
+                g_c, color4, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ew = e * wgt
+            dl = jnp.dot(ew, triu, preferred_element_type=jnp.float32) + g_s[:, None]
+            da = e * t - dl / (1.0 - a)
+            dpow = jnp.where(mask, da * a_raw, 0.0)
+
+            dcoef = jax.lax.dot_general(
+                feats, dpow, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dmx, dmy, dca, dcb, dcc = _chain_to_cols(dcoef, mx, my, ca, cb, cc)
+            dmux_ref[i] = dmx[0]
+            dmuy_ref[i] = dmy[0]
+            dca_ref[i] = dca[0]
+            dcb_ref[i] = dcb[0]
+            dcc_ref[i] = dcc[0]
+            sum_da = jnp.sum(dpow, axis=0)
+            opv = op[0]
+            dop_ref[i] = jnp.where(
+                opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0
+            )
+            dcol = jax.lax.dot_general(
+                g_c, wgt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dcr_ref[i] = dcol[0]
+            dcg_ref[i] = dcol[1]
+            dcb2_ref[i] = dcol[2]
+
+    @pl.when(nlive == 0)
+    def _():
+        for r in (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
+                  dop_ref, dcr_ref, dcg_ref, dcb2_ref):
+            r[...] = jnp.zeros(r.shape, jnp.float32)
+
+
+def _call_win(kernel, table, src, valid, tcx, tcy, block, extra_in,
+              out_shapes, cfg_consts):
+    """pallas_call builder for the windowed kernels.
+
+    table [16, EP] rides in ANY memory space (manual per-block DMA);
+    (src, valid, tcx, tcy) are scalar-prefetched per-block arrays."""
+    nb = src.shape[0]
+    feats = _pixel_feats8(int(cfg_consts[0]))
+    p2 = feats.shape[0]
+    nb_pad = -(-nb // GROUP) * GROUP
+
+    def padnb(x, fill=0):
+        return jnp.pad(x, (0, nb_pad - nb), constant_values=fill)
+
+    src = padnb(src)
+    valid = padnb(valid)
+    tcx = padnb(tcx)
+    tcy = padnb(tcy)
+    extra_in = [_pad_groups(x, nb_pad) for x in extra_in]
+
+    def blk(shape):
+        return pl.BlockSpec(
+            (GROUP,) + shape,
+            lambda g, *_: (g,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb_pad // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((p2, 8), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + [blk(x.shape[1:]) for x in extra_in],
+        out_specs=tuple(blk(s[1:]) for s in out_shapes)
+        if len(out_shapes) > 1 else blk(out_shapes[0][1:]),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, 16, 2 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((GROUP,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(kernel, cfg_consts=cfg_consts),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb_pad,) + s[1:], jnp.float32)
+            for s in out_shapes
+        )
+        if len(out_shapes) > 1
+        else jax.ShapeDtypeStruct((nb_pad,) + out_shapes[0][1:], jnp.float32),
+        interpret=_interpret(),
+    )(src, valid, tcx, tcy, table, feats, *extra_in)
+    if len(out_shapes) == 1:
+        return (outs[:nb],)
+    return tuple(o[:nb] for o in outs)
+
+
+def windowed_blend_fwd(table, src, valid, tcx, tcy, block, cfg_consts):
+    """Forward windowed blend: returns (out [NB, 4, P2], gid [NB, B] f32)."""
+    nb = src.shape[0]
+    p2 = int(cfg_consts[0]) ** 2
+    return _call_win(
+        _fwd_kernel_win, table, src, valid, tcx, tcy, block, [],
+        [(nb, 4, p2), (nb, block)], cfg_consts,
+    )
+
+
+def windowed_blend_bwd(table, src, valid, tcx, tcy, block, g, cfg_consts):
+    """Backward windowed blend: aligned-order column cotangents, nine
+    [NB, B] arrays (mux, muy, ca, cb, cc, op, r, g, b)."""
+    nb = src.shape[0]
+    return _call_win(
+        _bwd_kernel_win, table, src, valid, tcx, tcy, block, [g],
+        [(nb, block)] * 9, cfg_consts,
+    )

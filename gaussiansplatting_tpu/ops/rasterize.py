@@ -32,6 +32,7 @@ identical to the reference's per-pixel evaluation error profile.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -149,6 +150,86 @@ def _block_blend(
     return c_b, s_b
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _blend_windows(data, depth, row0, total, counts, ccounts, coffsets,
+                   ty_lo, tmin_x, span_x, cfgt):
+    """Pair expansion + (tile, depth) sort + WINDOWED Pallas blend as ONE
+    differentiable unit: the forward never materializes an aligned pair
+    array (each block DMAs its contiguous sorted-order window), and the
+    backward runs the replay kernel over the same windows, then reduces the
+    aligned-order column cotangents to per-Gaussian sums (the deterministic
+    replacement for tiled_shaders.metal:698-736).
+
+    Returns (out [NB, 4, P2], gid_aligned [NB, B] f32, block_tile f32).
+    Differentiable in ``data`` only.
+    """
+    outs, _ = _blend_windows_fwd(
+        data, depth, row0, total, counts, ccounts, coffsets, ty_lo, tmin_x,
+        span_x, cfgt,
+    )
+    return outs
+
+
+def _blend_windows_fwd(data, depth, row0, total, counts, ccounts, coffsets,
+                       ty_lo, tmin_x, span_x, cfgt):
+    from gaussiansplatting_tpu.ops import pallas_blend
+
+    pcfg, bconsts = cfgt
+    _, _, tiles_x, tiles_y, block = pcfg[:5]
+    ts = int(bconsts[0])
+    num_tiles = tiles_x * tiles_y
+    table, block_src, block_valid, block_tile, _ = pairs_mod.pair_windows_fwd(
+        data, depth, row0, counts, ccounts, coffsets, ty_lo, tmin_x, span_x,
+        pcfg,
+    )
+    t = jnp.minimum(block_tile, num_tiles - 1)
+    row0f = jnp.asarray(row0, jnp.float32)
+    tcx = (t % tiles_x).astype(jnp.float32) * ts + ts / 2.0
+    tcy = ((t // tiles_x).astype(jnp.float32) + row0f) * ts + ts / 2.0
+    out, gid_f = pallas_blend.windowed_blend_fwd(
+        table, block_src, block_valid, tcx, tcy, block, bconsts
+    )
+    outs = (out, gid_f, block_tile.astype(jnp.float32))
+    res = (table, block_src, block_valid, tcx, tcy, gid_f, counts)
+    return outs, res
+
+
+def _blend_windows_bwd(cfgt, res, cts):
+    from gaussiansplatting_tpu.ops import pallas_blend
+    from gaussiansplatting_tpu.ops.pairs import _float0
+
+    pcfg, bconsts = cfgt
+    n = pcfg[0]
+    block = pcfg[4]
+    grad_reduce = pcfg[5]
+    table, block_src, block_valid, tcx, tcy, gid_f, counts = res
+    d_out = cts[0]
+    dcols = pallas_blend.windowed_blend_bwd(
+        table, block_src, block_valid, tcx, tcy, block, d_out, bconsts
+    )
+    d_rows = jnp.stack([c.reshape(-1) for c in dcols], axis=0)  # [9, a_cap]
+    gid_aligned = gid_f.reshape(-1).astype(jnp.int32)
+    d_data = pairs_mod.reduce_aligned_cotangents(
+        d_rows, gid_aligned, counts, n, grad_reduce
+    )
+    zero_i32 = lambda shape: _float0(jnp.zeros(shape, jnp.int32))  # noqa: E731
+    return (
+        d_data,
+        jnp.zeros((n,), jnp.float32),        # depth
+        _float0(jnp.zeros((), jnp.int32)),   # row0
+        _float0(jnp.zeros((), jnp.int32)),   # total
+        zero_i32((n,)),                      # counts
+        zero_i32((n,)),                      # ccounts
+        zero_i32((n,)),                      # coffsets
+        zero_i32((n,)),                      # ty_lo
+        zero_i32((n,)),                      # tmin_x
+        zero_i32((n,)),                      # span_x
+    )
+
+
+_blend_windows.defvjp(_blend_windows_fwd, _blend_windows_bwd)
+
+
 def render(
     params: GaussianParams,
     camera: Camera,
@@ -195,6 +276,40 @@ def render(
     data = jnp.concatenate(
         [screen_pos, proj.conic, proj.opacity[:, None], color], axis=-1
     )  # [N, 9]
+
+    use_pallas = cfg.blend_impl == "pallas" or (
+        cfg.blend_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas and not cfg.t_floor_exact:
+        # Windowed path: expansion + one (tile, depth) sort + per-block
+        # window DMA inside the blend kernel — no aligned array, no second
+        # sort (see _blend_windows).
+        n = proj.depth.shape[0]
+        row0_i = jnp.asarray(row0, jnp.int32)
+        (counts, ccounts, coffsets, ty_lo, span_x, total,
+         overflow) = pairs_mod.capacity_plan(
+            proj, tiles_x, tiles_y, cfg.pair_capacity, row0_i
+        )
+        pcfg = (
+            int(n), int(cfg.pair_capacity), int(tiles_x), int(tiles_y),
+            int(block), str(cfg.grad_reduce),
+            pairs_mod._chunk_capacity(cfg.pair_capacity, n),
+        )
+        bconsts = (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor)
+        out, _gid_f, bt_f = _blend_windows(
+            data, proj.depth, row0_i, total, counts, ccounts, coffsets,
+            ty_lo, proj.tile_min[:, 0], span_x, (pcfg, bconsts),
+        )
+        c_b = out[:, :3, :]                              # [NB, 3, P2]
+        s_b = out[:, 3, :]
+        seg = bt_f.astype(jnp.int32)
+        num_blocks = seg.shape[0]
+        return _compose_tiles(
+            c_b, s_b, seg, None, num_blocks, num_tiles_total, tiles_x,
+            tiles_y, ts, p2, width, height, cfg, tile_rows,
+            RenderAux(num_pairs=total, overflow=overflow),
+        )
+
     pair_blocks = pairs_mod.build_pair_rows(
         proj, data, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
         grad_reduce=cfg.grad_reduce,
@@ -224,9 +339,6 @@ def render(
 
     # ---- per-block blended summaries ----
     feats = _pixel_features(ts)
-    use_pallas = cfg.blend_impl == "pallas" or (
-        cfg.blend_impl == "auto" and jax.default_backend() == "tpu"
-    )
     conic_mag = jnp.abs(c_a) + jnp.abs(c_bb) + jnp.abs(c_c)  # [NB, B]
     op_eff = jnp.where(pair_valid & (conic_mag >= 1e-4), b_opacity, 0.0)
     if use_pallas:
@@ -300,8 +412,21 @@ def render(
                 s2.reshape(nb_pad, p2)[:num_blocks],
             )
 
-    # ---- compose blocks within each tile: segmented exclusive prefix of S ----
+    # ---- compose blocks within each tile ----
     seg = pair_blocks.block_tile  # [NB], == num_tiles_total for padding blocks
+    return _compose_tiles(
+        c_b, s_b, seg, blend_tfloor, num_blocks, num_tiles_total, tiles_x,
+        tiles_y, ts, p2, width, height, cfg, tile_rows,
+        RenderAux(num_pairs=pair_blocks.num_pairs,
+                  overflow=pair_blocks.overflow),
+    )
+
+
+def _compose_tiles(c_b, s_b, seg, blend_tfloor, num_blocks, num_tiles_total,
+                   tiles_x, tiles_y, ts, p2, width, height, cfg, tile_rows,
+                   aux):
+    """Segmented exclusive-prefix composition of per-block summaries into
+    the image (the associative (C, T) combine across a tile's blocks)."""
     cum_excl = jnp.cumsum(s_b, axis=0) - s_b  # [NB, P2]
     # first block index of each tile's run
     first_block = jax.ops.segment_min(
@@ -346,4 +471,4 @@ def render(
     else:
         img = img[:, :width]
 
-    return img, RenderAux(num_pairs=pair_blocks.num_pairs, overflow=pair_blocks.overflow)
+    return img, aux

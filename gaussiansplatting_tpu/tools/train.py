@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-pairs", action="store_true",
                    help="auto-bucket pair capacity to the live workload "
                         "(--pair-capacity becomes the upper bound)")
+    p.add_argument("--min-pair-capacity", type=int, default=1 << 16,
+                   help="adaptive-pairs lower bound; set near the expected "
+                        "initial workload to skip the overflow ramp-up")
     p.add_argument("--batch-views", type=int, default=1, metavar="K",
                    help="one Adam step on the mean gradient of K views "
                         "(larger effective batch; 1 = reference parity)")
@@ -208,6 +211,7 @@ def main(argv=None) -> int:
         shuffle_seed=cfg.train.seed if args.shuffle else None,
         batch_views=args.batch_views,
         adaptive_pairs=args.adaptive_pairs,
+        min_pair_capacity=args.min_pair_capacity,
     )
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 

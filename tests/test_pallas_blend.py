@@ -137,3 +137,25 @@ def test_block_blend_vjp_matches_autodiff(rng):
         a_, b_ = np.asarray(gk), np.asarray(gr)
         rel = np.abs(a_ - b_).max() / (np.abs(b_).max() + 1e-12)
         assert rel < 1e-4, (name, rel)
+
+
+def test_windowed_strip_render_matches_xla(rng):
+    """The windowed path with tile_rows (row0 != 0, the multi-chip strip
+    mode) against the XLA blend: exercises the per-block window offsets and
+    strip-local tile-center math."""
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=64)
+    cfg_x, cfg_p = _cfgs()
+
+    for row0, rows in ((0, 2), (2, 2)):
+        img_x, aux_x = jax.jit(
+            render, static_argnums=(2, 4, 5)
+        )(params, cam, cfg_x, None, 256, (row0, rows))
+        img_p, aux_p = jax.jit(
+            render, static_argnums=(2, 4, 5)
+        )(params, cam, cfg_p, None, 256, (row0, rows))
+        np.testing.assert_allclose(
+            np.asarray(img_x), np.asarray(img_p), atol=2e-5,
+            err_msg=f"strip row0={row0}",
+        )
+        assert int(aux_x.num_pairs) == int(aux_p.num_pairs)

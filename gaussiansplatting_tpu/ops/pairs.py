@@ -215,7 +215,7 @@ def _expand_and_sort1(data, depth, row0, counts, ccounts, coffsets, ty_lo,
     """Two-tier expansion + the (tile, depth) payload sort.
 
     Returns (sorted_tile, sorted_gid, sorted_data tuple, e_cap)."""
-    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg[:7]
     num_tiles = tiles_x * tiles_y
     d = data.shape[-1]
     e_cap = chunk_cap * PAIR_CHUNK           # expansion rows (padded pairs)
@@ -274,6 +274,16 @@ def _expand_and_sort1(data, depth, row0, counts, ccounts, coffsets, ty_lo,
     #      of the keys base (device-trace measured) — CHEAPER than the
     #      alternative of thin sorts + one aligned-order row-gather, which
     #      pays ~14 ns/row for the gather plus a row-table relayout ----
+    presorted = len(cfg) > 7 and cfg[7]
+    if presorted:
+        # Gaussians arrive depth-sorted and expansion emits pairs in
+        # Gaussian order, so the stable tile sort preserves depth order —
+        # the depth key is redundant (saves one f32 sort operand)
+        ops = (tile_id, gid_v) + tuple(
+            bcast(crows[:, 6 + j]) for j in range(d)
+        )
+        s = jax.lax.sort(ops, num_keys=1)
+        return s[0], s[1], s[2:], e_cap
     ops = (tile_id, depth_s, gid_v) + tuple(
         bcast(crows[:, 6 + j]) for j in range(d)
     )
@@ -312,7 +322,7 @@ def _block_tiles(aligned_starts, aligned_counts, aligned_total, num_tiles,
 
 def _pair_rows_fwd(data, depth, row0, total, counts, ccounts, coffsets, ty_lo,
                    tmin_x, span_x, cfg):
-    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg[:7]
     num_tiles = tiles_x * tiles_y
     a_cap = aligned_capacity(p_cap, num_tiles, block)
     num_blocks = a_cap // block
@@ -401,7 +411,7 @@ def pair_windows_fwd(data, depth, row0, counts, ccounts, coffsets, ty_lo,
     aligned_total) where table rows are [gid, data0..D-1, zeros...] and EP
     pads e_cap so every 2*block over-fetch stays in bounds.
     """
-    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg
+    n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg[:7]
     num_tiles = tiles_x * tiles_y
     a_cap = aligned_capacity(p_cap, num_tiles, block)
     num_blocks = a_cap // block
@@ -471,7 +481,7 @@ def reduce_aligned_cotangents(d_rows, gid_aligned, counts, n,
 
 
 def _pair_rows_bwd(cfg, res, cts):
-    n, p_cap, tiles_x, tiles_y, block, grad_reduce, _ = cfg
+    n, p_cap, tiles_x, tiles_y, block, grad_reduce = cfg[:6]
     gid_aligned, counts = res
     d_rows = cts[1]                                   # [D, a_cap]
     d_data = reduce_aligned_cotangents(

@@ -119,6 +119,12 @@ def main(argv=None) -> int:
     log = MetricsLogger(path=args.metrics, echo=launch.is_primary())
     log.log("start", colmap=args.colmap, devices=args.devices, **topo)
 
+    if args.metrics:
+        # the JSONL stream records every step; the console echo line costs
+        # ~4 device->host round trips (~100 ms each through the tunnel)
+        cfg = cfg.replace(train=cfg.train.replace(
+            log_interval=max(cfg.train.log_interval, 100)))
+
     cameras, gts, params, extent = load_scene(args, cfg)
     eval_cams, eval_gts = [], []
     if args.eval_split > 1:
@@ -160,24 +166,46 @@ def main(argv=None) -> int:
 
     gts = [jax.device_put(g) for g in gts]
 
+    # Per-step metrics stay ON DEVICE and flush in batches: each host read
+    # through a tunneled chip costs ~100 ms RTT, so per-step float() casts
+    # (10 scalars/step) throttle training to <2 it/s.  One jnp.stack per
+    # step (async dispatch) + one transfer per FLUSH steps is ~free.
+    import jax.numpy as jnp
+
+    _buf: list = []
+    _FLUSH = 25
+
+    def _flush_metrics():
+        if not _buf:
+            return
+        iters = [it for it, _ in _buf]
+        vals = np.asarray(jnp.stack([v for _, v in _buf]))
+        _buf.clear()
+        for it, row in zip(iters, vals):
+            if not np.isfinite(row[0]):
+                log.log("warning", iter=it,
+                        msg="non-finite loss — check LRs / pair capacity")
+            log.log(
+                "step", iter=it,
+                loss=float(row[0]), l1=float(row[1]), dssim=float(row[2]),
+                psnr=float(row[3]), n=int(row[4]), pairs=int(row[5]),
+                overflow=bool(row[6] > 0), lr_pos=float(row[7]),
+                mean_op=round(float(row[8]), 4),
+                mean_scale=round(float(row[9]), 5),
+            )
+
     def metrics_fn(iteration, metrics):
-        if not np.isfinite(float(metrics.loss)):
-            log.log("warning", iter=iteration,
-                    msg="non-finite loss — check LRs / pair capacity")
-        log.log(
-            "step",
-            iter=iteration,
-            loss=float(metrics.loss),
-            l1=float(metrics.l1),
-            dssim=float(metrics.dssim),
-            psnr=float(metrics.psnr),
-            n=int(metrics.num_gaussians),
-            pairs=int(metrics.num_pairs),
-            overflow=bool(metrics.overflow),
-            lr_pos=float(metrics.position_lr),
-            mean_op=round(float(metrics.mean_opacity), 4),
-            mean_scale=round(float(metrics.mean_world_scale), 5),
-        )
+        vec = jnp.stack([
+            metrics.loss, metrics.l1, metrics.dssim, metrics.psnr,
+            metrics.num_gaussians.astype(jnp.float32),
+            metrics.num_pairs.astype(jnp.float32),
+            metrics.overflow.astype(jnp.float32),
+            metrics.position_lr, metrics.mean_opacity,
+            metrics.mean_world_scale,
+        ])
+        _buf.append((iteration, vec))
+        if len(_buf) >= _FLUSH:
+            _flush_metrics()
 
     def checkpoint_fn(iteration, st):
         if latest:
@@ -213,6 +241,7 @@ def main(argv=None) -> int:
         adaptive_pairs=args.adaptive_pairs,
         min_pair_capacity=args.min_pair_capacity,
     )
+    _flush_metrics()
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))
 
     if args.checkpoint_dir:

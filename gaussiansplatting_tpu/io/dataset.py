@@ -41,6 +41,7 @@ def load_colmap_scene(
     cfg: Config,
     downscale: int = 1,
     capacity: int | None = None,
+    capacity_factor: float = 4.0,
     knn_mode: str = "reference",
     decode_workers: int = 8,
 ) -> Scene:
@@ -91,7 +92,10 @@ def load_colmap_scene(
         data.points, data.point_colors, extent, cfg.init, knn_mode=knn_mode
     )
     n = cloud.means.shape[0]
-    cap = capacity or min(cfg.density.max_gaussians, max(_next_pow2(4 * n), 1 << 17))
+    cap = capacity or min(
+        cfg.density.max_gaussians,
+        max(_next_pow2(int(capacity_factor * n)), 1 << 17),
+    )
     params = gaussians_mod.from_arrays(
         cloud.means, cloud.log_scales, cloud.quats, cloud.raw_opacities,
         cloud.sh, capacity=cap,

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-pairs", action="store_true",
                    help="auto-bucket pair capacity to the live workload "
                         "(--pair-capacity becomes the upper bound)")
+    p.add_argument("--adaptive-capacity", action="store_true",
+                   help="start the Gaussian arrays near the SfM point count "
+                        "and grow them with densification (--capacity "
+                        "becomes the upper bound)")
     p.add_argument("--min-pair-capacity", type=int, default=1 << 16,
                    help="adaptive-pairs lower bound; set near the expected "
                         "initial workload to skip the overflow ramp-up")
@@ -68,7 +72,9 @@ def load_scene(args, cfg):
     try:
         scene = load_colmap_scene(
             args.colmap, args.images, cfg,
-            downscale=args.downscale, capacity=args.capacity,
+            downscale=args.downscale,
+            capacity=None if args.adaptive_capacity else args.capacity,
+            capacity_factor=1.5 if args.adaptive_capacity else 4.0,
             knn_mode=args.knn_mode,
         )
     except FileNotFoundError as e:
@@ -240,6 +246,8 @@ def main(argv=None) -> int:
         batch_views=args.batch_views,
         adaptive_pairs=args.adaptive_pairs,
         min_pair_capacity=args.min_pair_capacity,
+        adaptive_capacity=args.adaptive_capacity,
+        max_capacity=args.capacity,
     )
     _flush_metrics()
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))

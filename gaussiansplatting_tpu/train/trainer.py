@@ -263,6 +263,8 @@ def train_loop(
     adaptive_pairs: bool = False,
     adapt_interval: int = 50,
     min_pair_capacity: int = 1 << 16,
+    adaptive_capacity: bool = False,
+    max_capacity: int | None = None,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
@@ -276,6 +278,12 @@ def train_loop(
     ``batch_views`` > 1 takes one Adam step on the mean gradient of K views
     (train_step_batched) — iteration counts optimizer steps, so the densify /
     reset / LR schedules then see fewer, larger steps.
+
+    ``adaptive_capacity`` grows the Gaussian arrays (params + Adam moments +
+    accumulators) to the next power-of-two bucket when a densify event fills
+    85% of the current capacity, up to ``max_capacity`` (default: the
+    density hard cap) — real scenes start sparse, and projection/optimizer
+    work scales with the STATIC capacity.
 
     ``adaptive_pairs`` resizes the pair capacity to the workload: every
     ``adapt_interval`` iters the loop reads the emitted pair count and
@@ -398,6 +406,23 @@ def train_loop(
                         f"cloned={int(stats.cloned)} split={int(stats.split)} "
                         f"total={int(stats.count)}"
                     )
+                if adaptive_capacity:
+                    # grow the state to the next capacity bucket when the
+                    # population nears the arrays' end — the TPU answer to
+                    # the reference's buffer reallocation on densify
+                    # (density_control.mm:385-490); each bucket compiles
+                    # its own train/densify programs once
+                    from gaussiansplatting_tpu.train import state as state_mod
+
+                    cap = state.params.capacity
+                    limit = int(max_capacity or cfg.density.max_gaussians)
+                    if int(stats.count) >= int(0.85 * cap) and cap < limit:
+                        new_cap = min(cap * 2, limit)
+                        state = state_mod.grow(state, new_cap)
+                        if log_fn:
+                            log_fn(
+                                f"iter {iteration}: capacity {cap} -> {new_cap}"
+                            )
             if should_reset_opacity(iteration, cfg):
                 state = opacity_reset_step(state, cfg)
                 if log_fn:

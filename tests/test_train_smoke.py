@@ -291,3 +291,36 @@ def test_adaptive_pair_capacity_grows_out_of_overflow(rng):
     # after growth the final steps must not overflow
     last_pairs = [l for l in logs if "pairs=" in l][-1]
     assert "pairs=9" in last_pairs or "pairs=8" in last_pairs
+
+
+def test_train_loop_adaptive_capacity_grows(rng):
+    """Adaptive capacity: when a densify event fills 85% of the arrays, the
+    state grows to the next bucket (the TPU answer to the reference's
+    buffer reallocation, density_control.mm:385-490) and training
+    continues with the carried Adam state and accumulators."""
+    cfg = _cfg().replace(
+        density=DensityConfig(
+            densify_from_iter=2, densify_until_iter=100, densify_interval=3,
+            opacity_reset_interval=1000, grad_threshold=1e-9,
+        ),
+    )
+    cam = make_camera_for_scene(width=32, height=32)
+    gt_params = _scene_params(rng, n=16)
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    gt_img, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(_scene_params(rng, n=16, perturb=0.5, capacity=32))
+    logs = []
+    st = trainer.train_loop(
+        st, [cam], [gt_img], cfg, scene_extent=5.0, num_epochs=12,
+        log_fn=logs.append, adaptive_capacity=True, max_capacity=128,
+    )
+    assert any("capacity 32 -> 64" in l for l in logs), logs
+    assert st.params.capacity in (64, 128)
+    assert st.opt.m["means"].shape[0] == st.params.capacity
+    assert st.accum.grad_accum.shape[0] == st.params.capacity
+    assert np.isfinite(float(st.params.means[: int(np.asarray(st.params.alive).sum())].max()))
+    alive = np.asarray(st.params.alive)
+    n = alive.sum()
+    assert alive[:n].all() and not alive[n:].any()

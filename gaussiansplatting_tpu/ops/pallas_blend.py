@@ -445,6 +445,19 @@ block_blend_cols_tf.defvjp(_fwd_tf, _bwd_tf)
 # ---------------------------------------------------------------------------
 
 
+def _unpack_meta(meta, row0, ts, tiles_x):
+    """Per-block metadata packed into ONE scalar-prefetch i32 (SMEM is 1 MB;
+    at 8M-pair capacity four [NB] arrays overflow it): bits 20.. = valid
+    lane count, bits 0..19 = strip-local tile id.  Tile centers derive from
+    the tile id in kernel."""
+    valid = meta >> 20
+    t = meta & 0xFFFFF
+    half = ts / 2.0
+    tcx = (t % tiles_x).astype(jnp.float32) * ts + half
+    tcy = ((t // tiles_x) + row0).astype(jnp.float32) * ts + half
+    return valid, tcx, tcy
+
+
 def _win_cols(w, valid, tcx, tcy):
     """Extract the kernel columns from a rolled [16, B] window.
 
@@ -470,14 +483,14 @@ def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
     ), start - a0
 
 
-def _fwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
+def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     out_ref, gid_ref, scratch, sems, *, cfg_consts):
-    _, power_floor, alpha_cap, alpha_floor = cfg_consts
+    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts
     g = pl.program_id(0)
     b = gid_ref.shape[-1]
-    nlive = valid_ref[g * GROUP]
+    nlive = meta_ref[g * GROUP] >> 20
     for i in range(1, GROUP):
-        nlive = nlive + valid_ref[g * GROUP + i]
+        nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
 
     @pl.when(nlive > 0)
     def _():
@@ -492,9 +505,11 @@ def _fwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
             cp, off = offs[i]
             cp.wait()
             w = pltpu.roll(scratch[i], -off, 1)[:, :b]
+            valid, tcx, tcy = _unpack_meta(
+                meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
+            )
             gid, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid_ref[g * GROUP + i],
-                tcx_ref[g * GROUP + i], tcy_ref[g * GROUP + i],
+                w, valid, tcx, tcy
             )
             coef = _coef8(mx, my, ca, cb, cc)
             _, _, a, l, _ = _replay(
@@ -520,16 +535,16 @@ def _fwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
         gid_ref[...] = jnp.full(gid_ref.shape, -1.0, jnp.float32)
 
 
-def _bwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
+def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     g_ref, *refs, cfg_consts):
     (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
      dop_ref, dcr_ref, dcg_ref, dcb2_ref, scratch, sems) = refs
-    _, power_floor, alpha_cap, alpha_floor = cfg_consts
+    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts
     g = pl.program_id(0)
     b = dop_ref.shape[-1]
-    nlive = valid_ref[g * GROUP]
+    nlive = meta_ref[g * GROUP] >> 20
     for i in range(1, GROUP):
-        nlive = nlive + valid_ref[g * GROUP + i]
+        nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
 
     @pl.when(nlive > 0)
     def _():
@@ -545,9 +560,11 @@ def _bwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
             cp, off = offs[i]
             cp.wait()
             w = pltpu.roll(scratch[i], -off, 1)[:, :b]
+            valid, tcx, tcy = _unpack_meta(
+                meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
+            )
             _, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid_ref[g * GROUP + i],
-                tcx_ref[g * GROUP + i], tcy_ref[g * GROUP + i],
+                w, valid, tcx, tcy
             )
             coef = _coef8(mx, my, ca, cb, cc)
             power, a_raw, a, l, mask = _replay(
@@ -603,12 +620,14 @@ def _bwd_kernel_win(src_ref, valid_ref, tcx_ref, tcy_ref, tbl_ref, feats_ref,
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
 
-def _call_win(kernel, table, src, valid, tcx, tcy, block, extra_in,
+def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
               out_shapes, cfg_consts):
     """pallas_call builder for the windowed kernels.
 
-    table [16, EP] rides in ANY memory space (manual per-block DMA);
-    (src, valid, tcx, tcy) are scalar-prefetched per-block arrays."""
+    table [16, EP] rides in ANY memory space (manual per-block DMA); the
+    per-block source starts and the packed (valid << 20 | tile) metadata
+    are scalar-prefetched (SMEM is 1 MB — at 8M-pair capacity separate
+    valid/tcx/tcy arrays overflow it)."""
     nb = src.shape[0]
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
@@ -618,9 +637,8 @@ def _call_win(kernel, table, src, valid, tcx, tcy, block, extra_in,
         return jnp.pad(x, (0, nb_pad - nb), constant_values=fill)
 
     src = padnb(src)
-    valid = padnb(valid)
-    tcx = padnb(tcx)
-    tcy = padnb(tcy)
+    meta = padnb((valid << 20) | tile)
+    row0 = jnp.asarray(row0, jnp.int32).reshape(1)
     extra_in = [_pad_groups(x, nb_pad) for x in extra_in]
 
     def blk(shape):
@@ -631,7 +649,7 @@ def _call_win(kernel, table, src, valid, tcx, tcy, block, extra_in,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nb_pad // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -654,27 +672,27 @@ def _call_win(kernel, table, src, valid, tcx, tcy, block, extra_in,
         if len(out_shapes) > 1
         else jax.ShapeDtypeStruct((nb_pad,) + out_shapes[0][1:], jnp.float32),
         interpret=_interpret(),
-    )(src, valid, tcx, tcy, table, feats, *extra_in)
+    )(src, meta, row0, table, feats, *extra_in)
     if len(out_shapes) == 1:
         return (outs[:nb],)
     return tuple(o[:nb] for o in outs)
 
 
-def windowed_blend_fwd(table, src, valid, tcx, tcy, block, cfg_consts):
+def windowed_blend_fwd(table, src, valid, tile, row0, block, cfg_consts):
     """Forward windowed blend: returns (out [NB, 4, P2], gid [NB, B] f32)."""
     nb = src.shape[0]
     p2 = int(cfg_consts[0]) ** 2
     return _call_win(
-        _fwd_kernel_win, table, src, valid, tcx, tcy, block, [],
+        _fwd_kernel_win, table, src, valid, tile, row0, block, [],
         [(nb, 4, p2), (nb, block)], cfg_consts,
     )
 
 
-def windowed_blend_bwd(table, src, valid, tcx, tcy, block, g, cfg_consts):
+def windowed_blend_bwd(table, src, valid, tile, row0, block, g, cfg_consts):
     """Backward windowed blend: aligned-order column cotangents, nine
     [NB, B] arrays (mux, muy, ca, cb, cc, op, r, g, b)."""
     nb = src.shape[0]
     return _call_win(
-        _bwd_kernel_win, table, src, valid, tcx, tcy, block, [g],
+        _bwd_kernel_win, table, src, valid, tile, row0, block, [g],
         [(nb, block)] * 9, cfg_consts,
     )

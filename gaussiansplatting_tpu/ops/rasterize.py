@@ -183,14 +183,11 @@ def _blend_windows_fwd(data, depth, row0, total, counts, ccounts, coffsets,
         pcfg,
     )
     t = jnp.minimum(block_tile, num_tiles - 1)
-    row0f = jnp.asarray(row0, jnp.float32)
-    tcx = (t % tiles_x).astype(jnp.float32) * ts + ts / 2.0
-    tcy = ((t // tiles_x).astype(jnp.float32) + row0f) * ts + ts / 2.0
     out, gid_f = pallas_blend.windowed_blend_fwd(
-        table, block_src, block_valid, tcx, tcy, block, bconsts
+        table, block_src, block_valid, t, row0, block, bconsts
     )
     outs = (out, gid_f, block_tile.astype(jnp.float32))
-    res = (table, block_src, block_valid, tcx, tcy, gid_f, counts)
+    res = (table, block_src, block_valid, t, row0, gid_f, counts)
     return outs, res
 
 
@@ -202,10 +199,10 @@ def _blend_windows_bwd(cfgt, res, cts):
     n = pcfg[0]
     block = pcfg[4]
     grad_reduce = pcfg[5]
-    table, block_src, block_valid, tcx, tcy, gid_f, counts = res
+    table, block_src, block_valid, tile, row0, gid_f, counts = res
     d_out = cts[0]
     dcols = pallas_blend.windowed_blend_bwd(
-        table, block_src, block_valid, tcx, tcy, block, d_out, bconsts
+        table, block_src, block_valid, tile, row0, block, d_out, bconsts
     )
     d_rows = jnp.stack([c.reshape(-1) for c in dcols], axis=0)  # [9, a_cap]
     gid_aligned = gid_f.reshape(-1).astype(jnp.int32)
@@ -304,7 +301,8 @@ def render(
             pairs_mod._chunk_capacity(cfg.pair_capacity, n),
             True,    # depth-presorted: tile sort is single-key
         )
-        bconsts = (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor)
+        bconsts = (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor,
+                   int(tiles_x))
         out, _gid_f, bt_f = _blend_windows(
             data, proj_p.depth, row0_i, total, counts, ccounts, coffsets,
             ty_lo, proj_p.tile_min[:, 0], span_x, (pcfg, bconsts),

@@ -63,6 +63,14 @@ class RasterConfig(_Replaceable):
     # numerically boring fallback).  Both are deterministic, unlike the
     # reference's relaxed float atomics.
     grad_reduce: str = "sortprefix"
+    # Sort payload precision (windowed Pallas path only): "f32" carries all
+    # render data / cotangents as one f32 sort operand each; "bf16" packs
+    # them two-per-i32 (ops/packing.py), cutting the fat pair sort 11 -> 8
+    # operands and the backward by-gid sort 10 -> 6 at bf16 precision for
+    # conic/opacity/color and gradients (screen positions stay f32).  The
+    # reference blends in HALF precision (tiled_shaders.metal:326-328), so
+    # bf16 render data is inside its numerical envelope.
+    payload_dtype: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)

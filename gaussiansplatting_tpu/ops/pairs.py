@@ -410,8 +410,24 @@ def pair_windows_fwd(data, depth, row0, counts, ccounts, coffsets, ty_lo,
     Returns (table [16, EP], block_src, block_valid, block_tile,
     aligned_total) where table rows are [gid, data0..D-1, zeros...] and EP
     pads e_cap so every 2*block over-fetch stays in bounds.
+
+    With cfg[8] (payload packing) set, the nine data columns ride the sort
+    as SIX operands — sx, sy f32 plus four bf16-pair packs of
+    (conic a,b), (conic c, opacity), (r,g), (b,0) — and the blend kernel
+    unpacks in-VMEM (ops/packing.py; the reference blends in half,
+    tiled_shaders.metal:326-328).
     """
     n, p_cap, tiles_x, tiles_y, block, _, chunk_cap = cfg[:7]
+    if len(cfg) > 8 and cfg[8]:
+        from gaussiansplatting_tpu.ops import packing
+
+        data = jnp.concatenate(
+            [data[:, :2]]
+            + [c[:, None] for c in packing.pack_cols(
+                [data[:, j] for j in range(2, data.shape[-1])]
+            )],
+            axis=-1,
+        )
     num_tiles = tiles_x * tiles_y
     a_cap = aligned_capacity(p_cap, num_tiles, block)
     num_blocks = a_cap // block
@@ -451,11 +467,25 @@ def pair_windows_fwd(data, depth, row0, counts, ccounts, coffsets, ty_lo,
 
 
 def reduce_aligned_cotangents(d_rows, gid_aligned, counts, n,
-                              grad_reduce="sortprefix"):
+                              grad_reduce="sortprefix", packed_out=0):
     """Per-Gaussian sums of aligned-order cotangents d_rows [D, a_cap]
     (the deterministic replacement for the reference's per-field atomics,
-    tiled_shaders.metal:698-736).  Returns [N, D]."""
+    tiled_shaders.metal:698-736).  Returns [N, D].
+
+    ``packed_out`` > 0: the rows are bf16-pair packs of ``packed_out`` real
+    cotangent columns (the backward kernel packs in-VMEM); the by-gid sort
+    carries the packed rows and unpacking happens AFTER the sort, so the
+    f32 prefix-sum reduction itself stays exact."""
     d = d_rows.shape[0]
+    if packed_out and grad_reduce == "scatter":
+        from gaussiansplatting_tpu.ops import packing
+
+        d_rows = jnp.stack(
+            packing.unpack_cols([d_rows[j] for j in range(d)], packed_out),
+            axis=0,
+        )
+        d = packed_out
+        packed_out = 0
 
     if grad_reduce == "scatter":
         # one fused duplicate-index scatter-add (deterministic order under
@@ -471,7 +501,14 @@ def reduce_aligned_cotangents(d_rows, gid_aligned, counts, n,
         key = jnp.where(gid_aligned >= 0, gid_aligned, n)
         s = jax.lax.sort((key,) + tuple(d_rows[j] for j in range(d)),
                          num_keys=1)
-        sd = jnp.stack(s[1:], axis=-1)                # [a_cap, D]
+        if packed_out:
+            from gaussiansplatting_tpu.ops import packing
+
+            cols = packing.unpack_cols(list(s[1:]), packed_out)
+            d = packed_out
+            sd = jnp.stack(cols, axis=-1)             # [a_cap, D]
+        else:
+            sd = jnp.stack(s[1:], axis=-1)            # [a_cap, D]
         csum = jnp.concatenate(
             [jnp.zeros((1, d), sd.dtype), jnp.cumsum(sd, axis=0)], axis=0
         )

@@ -458,20 +458,31 @@ def _unpack_meta(meta, row0, ts, tiles_x):
     return valid, tcx, tcy
 
 
-def _win_cols(w, valid, tcx, tcy):
+def _win_cols(w, valid, tcx, tcy, packed=False):
     """Extract the kernel columns from a rolled [16, B] window.
 
-    Rows: 0=gid, 1=sx, 2=sy, 3..5=conic, 6=opacity, 7..9=rgb."""
+    Unpacked rows: 0=gid, 1=sx, 2=sy, 3..5=conic, 6=opacity, 7..9=rgb.
+    Packed rows (ops/packing.py): 0=gid, 1=sx, 2=sy, 3=(ca,cb), 4=(cc,op),
+    5=(r,g), 6=(b,0) as bf16 pairs — unpacked here in VMEM."""
     b = w.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
     mask = lane < valid
     gid = jnp.where(mask, w[0:1], -1.0)
     mx = w[1:2] - tcx
     my = w[2:3] - tcy
-    ca, cb, cc = w[3:4], w[4:5], w[5:6]
+    if packed:
+        from gaussiansplatting_tpu.ops.packing import unpack2
+
+        ca, cb = unpack2(w[3:4])
+        cc, op0 = unpack2(w[4:5])
+        cr, cg = unpack2(w[5:6])
+        cbl, _ = unpack2(w[6:7])
+    else:
+        ca, cb, cc = w[3:4], w[4:5], w[5:6]
+        op0 = w[6:7]
+        cr, cg, cbl = w[7:8], w[8:9], w[9:10]
     conic_mag = jnp.abs(ca) + jnp.abs(cb) + jnp.abs(cc)
-    op = jnp.where(mask & (conic_mag >= 1e-4), w[6:7], 0.0)
-    cr, cg, cbl = w[7:8], w[8:9], w[9:10]
+    op = jnp.where(mask & (conic_mag >= 1e-4), op0, 0.0)
     return gid, mx, my, ca, cb, cc, op, cr, cg, cbl
 
 
@@ -485,7 +496,8 @@ def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
 
 def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     out_ref, gid_ref, scratch, sems, *, cfg_consts):
-    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts
+    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
+    packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
     g = pl.program_id(0)
     b = gid_ref.shape[-1]
     nlive = meta_ref[g * GROUP] >> 20
@@ -509,7 +521,7 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
             )
             gid, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid, tcx, tcy
+                w, valid, tcx, tcy, packed
             )
             coef = _coef8(mx, my, ca, cb, cc)
             _, _, a, l, _ = _replay(
@@ -537,11 +549,11 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
 
 def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     g_ref, *refs, cfg_consts):
-    (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
-     dop_ref, dcr_ref, dcg_ref, dcb2_ref, scratch, sems) = refs
-    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts
+    ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
+    packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
+    *out_refs, scratch, sems = refs
     g = pl.program_id(0)
-    b = dop_ref.shape[-1]
+    b = out_refs[0].shape[-1]
     nlive = meta_ref[g * GROUP] >> 20
     for i in range(1, GROUP):
         nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
@@ -564,7 +576,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
             )
             _, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid, tcx, tcy
+                w, valid, tcx, tcy, packed
             )
             coef = _coef8(mx, my, ca, cb, cc)
             power, a_raw, a, l, mask = _replay(
@@ -595,28 +607,36 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 preferred_element_type=jnp.float32,
             )
             dmx, dmy, dca, dcb, dcc = _chain_to_cols(dcoef, mx, my, ca, cb, cc)
-            dmux_ref[i] = dmx[0]
-            dmuy_ref[i] = dmy[0]
-            dca_ref[i] = dca[0]
-            dcb_ref[i] = dcb[0]
-            dcc_ref[i] = dcc[0]
             sum_da = jnp.sum(dpow, axis=0)
             opv = op[0]
-            dop_ref[i] = jnp.where(
+            dop = jnp.where(
                 opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0
             )
             dcol = jax.lax.dot_general(
                 g_c, wgt, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dcr_ref[i] = dcol[0]
-            dcg_ref[i] = dcol[1]
-            dcb2_ref[i] = dcol[2]
+            cots = (dmx[0], dmy[0], dca[0], dcb[0], dcc[0],
+                    dop, dcol[0], dcol[1], dcol[2])
+            if packed:
+                # bf16-pair pack the nine cotangents into five output rows;
+                # the by-gid reduction sort then carries 6 operands instead
+                # of 10 (ops/pairs.reduce_aligned_cotangents unpacks AFTER
+                # the sort, so the f32 prefix sums stay exact)
+                from gaussiansplatting_tpu.ops.packing import pack2
+
+                z = jnp.zeros_like(dop)
+                for j, ref in enumerate(out_refs):
+                    a = cots[2 * j]
+                    bb = cots[2 * j + 1] if 2 * j + 1 < 9 else z
+                    ref[i] = pack2(a, bb)
+            else:
+                for j, ref in enumerate(out_refs):
+                    ref[i] = cots[j]
 
     @pl.when(nlive == 0)
     def _():
-        for r in (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
-                  dop_ref, dcr_ref, dcg_ref, dcb2_ref):
+        for r in out_refs:
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
 
@@ -632,6 +652,14 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
     nb_pad = -(-nb // GROUP) * GROUP
+    if not _interpret():
+        # _win_start_copy aligns DMA window starts to `block`; Mosaic
+        # requires 128-lane alignment for dynamic lane offsets, so the
+        # compiled TPU path only supports 128-multiple blocks (tests use
+        # smaller blocks in interpret mode only).
+        assert block % 128 == 0, (
+            f"windowed TPU blend needs pair_block % 128 == 0, got {block}"
+        )
 
     def padnb(x, fill=0):
         return jnp.pad(x, (0, nb_pad - nb), constant_values=fill)
@@ -689,10 +717,13 @@ def windowed_blend_fwd(table, src, valid, tile, row0, block, cfg_consts):
 
 
 def windowed_blend_bwd(table, src, valid, tile, row0, block, g, cfg_consts):
-    """Backward windowed blend: aligned-order column cotangents, nine
-    [NB, B] arrays (mux, muy, ca, cb, cc, op, r, g, b)."""
+    """Backward windowed blend: aligned-order column cotangents — nine
+    [NB, B] arrays (mux, muy, ca, cb, cc, op, r, g, b), or five bf16-pair
+    packed arrays when cfg_consts[5] (payload packing) is set."""
     nb = src.shape[0]
+    packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
+    n_out = 5 if packed else 9
     return _call_win(
         _bwd_kernel_win, table, src, valid, tile, row0, block, [g],
-        [(nb, block)] * 9, cfg_consts,
+        [(nb, block)] * n_out, cfg_consts,
     )

@@ -199,15 +199,18 @@ def _blend_windows_bwd(cfgt, res, cts):
     n = pcfg[0]
     block = pcfg[4]
     grad_reduce = pcfg[5]
+    packed = len(pcfg) > 8 and pcfg[8]
     table, block_src, block_valid, tile, row0, gid_f, counts = res
     d_out = cts[0]
     dcols = pallas_blend.windowed_blend_bwd(
         table, block_src, block_valid, tile, row0, block, d_out, bconsts
     )
-    d_rows = jnp.stack([c.reshape(-1) for c in dcols], axis=0)  # [9, a_cap]
+    # [9, a_cap] unpacked, or [5, a_cap] bf16-pair packed (see ops/packing.py)
+    d_rows = jnp.stack([c.reshape(-1) for c in dcols], axis=0)
     gid_aligned = gid_f.reshape(-1).astype(jnp.int32)
     d_data = pairs_mod.reduce_aligned_cotangents(
-        d_rows, gid_aligned, counts, n, grad_reduce
+        d_rows, gid_aligned, counts, n, grad_reduce,
+        packed_out=9 if packed else 0,
     )
     zero_i32 = lambda shape: _float0(jnp.zeros(shape, jnp.int32))  # noqa: E731
     return (
@@ -286,6 +289,12 @@ def render(
         # alone leaves every tile's run depth-sorted — the f32 depth key
         # (one more ~2.5 ms sort operand at 3M rows) never rides.
         n = proj.depth.shape[0]
+        # the blend kernels pack (valid << 20 | tile) into one scalar-prefetch
+        # i32 (pallas_blend._unpack_meta); tile ids must fit 20 bits
+        assert num_tiles_total <= (1 << 20), (
+            f"windowed blend supports at most 2^20 tiles, got "
+            f"{num_tiles_total} ({tiles_x}x{tiles_y})"
+        )
         row0_i = jnp.asarray(row0, jnp.int32)
         order = jnp.argsort(proj.depth)
         proj_p = jax.tree_util.tree_map(lambda x: x[order], proj)
@@ -295,14 +304,16 @@ def render(
          overflow) = pairs_mod.capacity_plan(
             proj_p, tiles_x, tiles_y, cfg.pair_capacity, row0_i
         )
+        packed = cfg.payload_dtype == "bf16"
         pcfg = (
             int(n), int(cfg.pair_capacity), int(tiles_x), int(tiles_y),
             int(block), str(cfg.grad_reduce),
             pairs_mod._chunk_capacity(cfg.pair_capacity, n),
             True,    # depth-presorted: tile sort is single-key
+            bool(packed),  # bf16 2-in-1 payload packing (ops/packing.py)
         )
         bconsts = (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor,
-                   int(tiles_x))
+                   int(tiles_x), int(packed))
         out, _gid_f, bt_f = _blend_windows(
             data, proj_p.depth, row0_i, total, counts, ccounts, coffsets,
             ty_lo, proj_p.tile_min[:, 0], span_x, (pcfg, bconsts),

@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscale", type=int, default=1, help="image downscale factor")
     p.add_argument("--config", default=None, help="config JSON (defaults = reference constants)")
     p.add_argument("--capacity", type=int, default=None, help="Gaussian capacity (default: grows to density cap)")
-    p.add_argument("--pair-capacity", type=int, default=1 << 21)
+    p.add_argument("--pair-capacity", type=int, default=None,
+                   help="padded (tile,depth) pairs per frame (default 1<<21; "
+                        "on --resume, None keeps the checkpoint's value)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-interval", type=int, default=5000, help="iters between checkpoints (0=end only)")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --checkpoint-dir")
@@ -59,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle", action="store_true",
                    help="shuffle view order each epoch (official-3DGS style; "
                         "default keeps the reference's fixed order)")
+    p.add_argument("--scan-steps", type=int, default=1, metavar="K",
+                   help="dispatch K consecutive steps as one compiled "
+                        "program when no schedule event falls inside "
+                        "(amortizes per-step host dispatch; pick a divisor "
+                        "of the densify/snapshot cadence, e.g. 10 or 25)")
     p.add_argument("--eval-split", type=int, default=0, metavar="N",
                    help="hold out every Nth view from training and report "
                         "held-out PSNR/L1 at the end (official-3DGS style; 0 = off)")
@@ -114,7 +121,11 @@ def main(argv=None) -> int:
             cfg = Config.from_json(f.read())
     else:
         cfg = Config()
-    raster = cfg.raster.replace(pair_capacity=args.pair_capacity)
+    raster = cfg.raster.replace(
+        pair_capacity=args.pair_capacity
+        if args.pair_capacity is not None
+        else 1 << 21
+    )
     if args.sh_degree is not None:
         raster = raster.replace(sh_degree=args.sh_degree)
     cfg = cfg.replace(raster=raster)
@@ -161,8 +172,12 @@ def main(argv=None) -> int:
         if saved_cfg is not None:
             cfg = saved_cfg
             # CLI overrides win over the checkpoint's saved config (raising
-            # --pair-capacity on resume must actually take effect)
-            raster = cfg.raster.replace(pair_capacity=args.pair_capacity)
+            # --pair-capacity on resume must actually take effect), but an
+            # OMITTED flag keeps the checkpoint's value — the default must
+            # not silently shrink a larger saved capacity
+            raster = cfg.raster
+            if args.pair_capacity is not None:
+                raster = raster.replace(pair_capacity=args.pair_capacity)
             if args.sh_degree is not None:
                 raster = raster.replace(sh_degree=args.sh_degree)
             cfg = cfg.replace(raster=raster)
@@ -248,6 +263,7 @@ def main(argv=None) -> int:
         min_pair_capacity=args.min_pair_capacity,
         adaptive_capacity=args.adaptive_capacity,
         max_capacity=args.capacity,
+        scan_steps=args.scan_steps,
     )
     _flush_metrics()
     log.log("trained", seconds=round(time.time() - t0, 1), iteration=int(state.opt.t))

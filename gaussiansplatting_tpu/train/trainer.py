@@ -42,8 +42,7 @@ class StepMetrics(NamedTuple):
     mean_world_scale: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "total_iters"))
-def train_step(
+def _train_step_impl(
     state: TrainState,
     camera: Camera,
     gt_image: jnp.ndarray,
@@ -89,6 +88,39 @@ def train_step(
     )
     new_state = state.replace(params=new_params, opt=new_opt, accum=new_accum)
     return new_state, metrics
+
+
+train_step = jax.jit(_train_step_impl, static_argnames=("cfg", "total_iters"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "total_iters"), donate_argnums=(0,)
+)
+def train_steps(
+    state: TrainState,
+    cameras: Camera,          # K-stacked camera pytree (same static W/H)
+    gt_images: jnp.ndarray,   # [K, H, W, 3]
+    cfg: Config,
+    total_iters: int,
+) -> tuple[TrainState, StepMetrics]:
+    """K SEQUENTIAL optimization steps in ONE compiled program.
+
+    Semantically identical to K train_step calls (one Adam step per view,
+    ``lax.scan`` threads the state), but dispatched as a single device
+    program: per-step host dispatch latency — ~20 ms through a tunneled
+    chip, the round-2 wall-vs-device gap (docs/DESIGN.md) — is paid once
+    per K steps instead of per step.  The reference's loop pays >=6 blocking
+    command-buffer syncs per step (SURVEY.md §3.2); this is the opposite
+    extreme.  State buffers are donated (the old state is consumed).
+
+    Returns (state, metrics) with every StepMetrics field stacked [K].
+    """
+
+    def body(st, view):
+        cam, gt = view
+        return _train_step_impl(st, cam, gt, cfg, total_iters)
+
+    return jax.lax.scan(body, state, (cameras, gt_images))
 
 
 def _mean_opacity(params) -> jnp.ndarray:
@@ -245,6 +277,34 @@ def should_reset_opacity(iteration: int, cfg: Config) -> bool:
     )
 
 
+def _steps_until_event(iteration, cfg, adaptive_pairs, adapt_interval,
+                       ckpt_interval, snap_interval):
+    """Largest k such that no schedule event fires strictly inside
+    (iteration, iteration + k) — an event exactly at the chunk end is fine
+    (the loop handles it after the scanned steps return)."""
+    d = cfg.density
+
+    def next_mult(interval):
+        return interval * (iteration // interval + 1) - iteration
+
+    gaps = []
+    j = iteration + next_mult(d.densify_interval)
+    while j <= d.densify_from_iter:
+        j += d.densify_interval
+    if j < d.densify_until_iter:
+        gaps.append(j - iteration)
+    j = iteration + next_mult(d.opacity_reset_interval)
+    if j < d.densify_until_iter:
+        gaps.append(j - iteration)
+    if adaptive_pairs:
+        gaps.append(next_mult(adapt_interval))
+    if ckpt_interval:
+        gaps.append(next_mult(ckpt_interval))
+    if snap_interval:
+        gaps.append(next_mult(snap_interval))
+    return min(gaps) if gaps else 1 << 30
+
+
 def train_loop(
     state: TrainState,
     cameras: list[Camera],
@@ -265,6 +325,7 @@ def train_loop(
     min_pair_capacity: int = 1 << 16,
     adaptive_capacity: bool = False,
     max_capacity: int | None = None,
+    scan_steps: int = 1,
 ) -> TrainState:
     """Epochs x views, densify/reset on schedule (mtl_engine.mm:1047-1221).
 
@@ -284,6 +345,15 @@ def train_loop(
     85% of the current capacity, up to ``max_capacity`` (default: the
     density hard cap) — real scenes start sparse, and projection/optimizer
     work scales with the STATIC capacity.
+
+    ``scan_steps`` > 1 dispatches runs of exactly ``scan_steps`` consecutive
+    steps as ONE compiled program (train_steps) whenever no densify / reset /
+    checkpoint / snapshot / adapt event falls inside the run — amortizing
+    per-step host dispatch (~20 ms through a tunneled chip).  Pick a value
+    dividing the schedule intervals (e.g. 10 or 25 against the reference's
+    100/3000 cadence) so chunks tile the schedule exactly; off-cadence
+    positions fall back to single steps.  Only the plain single-view path
+    scans (mesh_devices == 1, batch_views == 1).
 
     ``adaptive_pairs`` resizes the pair capacity to the workload: every
     ``adapt_interval`` iters the loop reads the emitted pair count and
@@ -363,11 +433,41 @@ def train_loop(
                 (cameras[v], gt_images[v], cameras[v], gt_images[v])
                 for v in order
             ]
-        for idx, (cam, gt, cam0, gt0) in enumerate(views_iter):
-            state, metrics = step_fn(state, cam, gt)
-            iteration += 1
-            if metrics_fn:
-                metrics_fn(iteration, metrics)
+        use_scan = scan_steps > 1 and mesh_devices == 1 and batch_views == 1
+        idx = 0
+        while idx < len(views_iter):
+            k = 1
+            if use_scan and idx + scan_steps <= len(views_iter):
+                gap = _steps_until_event(
+                    iteration, cfg, adaptive_pairs, adapt_interval,
+                    checkpoint_interval if checkpoint_fn else 0,
+                    cfg.train.snapshot_interval if snapshot_fn else 0,
+                )
+                if gap >= scan_steps:
+                    k = scan_steps
+            if k > 1:
+                chunk = views_iter[idx:idx + k]
+                cams_k = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[c[0] for c in chunk]
+                )
+                gts_k = jnp.stack([c[1] for c in chunk])
+                state, ms = train_steps(state, cams_k, gts_k, cfg, total_iters)
+                for i in range(k):
+                    iteration += 1
+                    if metrics_fn:
+                        metrics_fn(
+                            iteration,
+                            jax.tree_util.tree_map(lambda x, i=i: x[i], ms),
+                        )
+                metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            else:
+                cam, gt, _, _ = views_iter[idx]
+                state, metrics = step_fn(state, cam, gt)
+                iteration += 1
+                if metrics_fn:
+                    metrics_fn(iteration, metrics)
+            cam0, gt0 = views_iter[idx + k - 1][2], views_iter[idx + k - 1][3]
+            idx += k
 
             if adaptive_pairs and iteration % adapt_interval == 0:
                 pairs_now = int(metrics.num_pairs)
@@ -428,7 +528,7 @@ def train_loop(
                 if log_fn:
                     log_fn(f"iter {iteration}: opacity reset")
 
-            if log_fn and idx % cfg.train.log_interval == 0:
+            if log_fn and (idx - k) % cfg.train.log_interval == 0:
                 log_fn(
                     f"epoch {epoch} [{idx}/{len(cameras)}] "
                     f"loss={float(metrics.loss):.4f} psnr={float(metrics.psnr):.2f} "

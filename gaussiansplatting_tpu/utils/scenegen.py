@@ -225,21 +225,17 @@ def shade(jnp, points, normals, pal_id, spheres, boxes, palettes, sun_dir):
     return jnp.clip(alb * (ambient + 0.85 * lit)[..., None], 0.0, 1.0)
 
 
-def render_view(R: np.ndarray, t: np.ndarray, fx: float, fy: float,
-                cx: float, cy: float, width: int, height: int) -> np.ndarray:
-    """Ray-trace one COLMAP-posed view (x_cam = R x + t); returns [H, W, 3]
-    float32 in [0, 1]."""
+@functools.lru_cache(maxsize=1)
+def _render_view_jit():
+    """Module-level jitted renderer: the pose is an ARGUMENT (not a
+    closed-over constant), and the wrapper itself is cached, so every view
+    of a dataset shares ONE compiled program per resolution."""
     import jax
     import jax.numpy as jnp
 
-    spheres, boxes, palettes, sun_dir = _scene_arrays(jnp)
-    eye = jnp.asarray(-R.T @ t, jnp.float32)
-    Rt = jnp.asarray(R.T, jnp.float32)
-
-    # pose is an ARGUMENT (not a closed-over constant) so all views share one
-    # compiled program instead of recompiling + constant-folding per view
     @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
     def go(Rt, eye, fx, fy, cx, cy, width, height):
+        spheres, boxes, palettes, sun_dir = _scene_arrays(jnp)
         xs = (jnp.arange(width, dtype=jnp.float32) + 0.5 - cx) / fx
         ys = (jnp.arange(height, dtype=jnp.float32) + 0.5 - cy) / fy
         gx, gy = jnp.meshgrid(xs, ys)
@@ -254,6 +250,18 @@ def render_view(R: np.ndarray, t: np.ndarray, fx: float, fy: float,
         sky = _sky(jnp, d_world, sun_dir)
         return jnp.where(hit[..., None], col, sky)
 
+    return go
+
+
+def render_view(R: np.ndarray, t: np.ndarray, fx: float, fy: float,
+                cx: float, cy: float, width: int, height: int) -> np.ndarray:
+    """Ray-trace one COLMAP-posed view (x_cam = R x + t); returns [H, W, 3]
+    float32 in [0, 1]."""
+    import jax.numpy as jnp
+
+    eye = jnp.asarray(-R.T @ t, np.float32)
+    Rt = jnp.asarray(R.T, np.float32)
+    go = _render_view_jit()
     return np.asarray(
         go(Rt, eye, float(fx), float(fy), float(cx), float(cy), width, height),
         np.float32,

@@ -71,6 +71,13 @@ class RasterConfig(_Replaceable):
     # reference blends in HALF precision (tiled_shaders.metal:326-328), so
     # bf16 render data is inside its numerical envelope.
     payload_dtype: str = "f32"
+    # Which Gaussians lose their pairs when the frame exceeds pair_capacity:
+    # "index" reproduces the reference's write-cursor bounds check
+    # (tiled_shaders.metal:779-780) as a deterministic emission-order prefix;
+    # "impact" keeps the highest opacity x tiles-covered set instead, so a
+    # capped capacity under CHRONIC overflow sheds the least visible content
+    # (see ops/pairs.capacity_plan).
+    overflow_drop: str = "index"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,13 +111,27 @@ def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
     return pair_capacity + num_tiles * block
 
 
-def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0):
+def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0,
+                  overflow_drop: str = "index"):
     """Per-Gaussian pair/chunk counts with the capacity drop applied.
 
     Intersects each Gaussian's tile rect with the strip's row range, then
     drops Gaussians whose run would cross the end of either the real-pair
     or the chunk-slot capacity (reference: writePos + tileCount > maxPairs
     -> return, tiled_shaders.metal:779-780).
+
+    ``overflow_drop`` picks WHICH Gaussians are dropped under overflow:
+
+      * "index" (default, reference parity): whoever lands past the
+        capacity prefix in emission order — after the depth presort that is
+        the farthest Gaussians (the reference's atomic write cursor makes
+        its drop set scheduling-dependent; a deterministic prefix is the
+        closest reproducible analogue).
+      * "impact": keep the highest-impact prefix instead, ranking by
+        opacity x covered tiles, so CHRONIC overflow at a capped capacity
+        sheds the least visible content rather than whole depth ranges.
+        Costs two extra N-sized sort/scatter ops per frame (~2 ms at 1.5M);
+        drops nothing when everything fits.
 
     Returns (counts, ccounts, coffsets, ty_lo, span_x, total, overflow).
     """
@@ -136,9 +150,20 @@ def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0):
     total = cum[-1] if n > 0 else jnp.int32(0)
     ctotal = ccum[-1] if n > 0 else jnp.int32(0)
 
-    fits = ((offsets + counts) <= pair_capacity) & (
-        (coffsets + ccounts) <= chunk_cap
-    )
+    if overflow_drop == "impact":
+        # keep the max-impact set that fits BOTH caps: cumsum counts in
+        # descending-impact order, keep while under capacity, scatter the
+        # keep mask back to emission order
+        impact = jnp.where(counts > 0, proj.opacity * counts, -1.0)
+        order = jnp.argsort(-impact)
+        fits_o = (jnp.cumsum(counts[order]) <= pair_capacity) & (
+            jnp.cumsum(ccounts[order]) <= chunk_cap
+        )
+        fits = jnp.zeros((n,), bool).at[order].set(fits_o)
+    else:
+        fits = ((offsets + counts) <= pair_capacity) & (
+            (coffsets + ccounts) <= chunk_cap
+        )
     counts = jnp.where(fits, counts, 0)
     ccounts = jnp.where(fits, ccounts, 0)
     overflow = (total > pair_capacity) | (ctotal > chunk_cap)
@@ -157,6 +182,7 @@ def build_pair_rows(
     block: int,
     row0=0,
     grad_reduce: str = "sortprefix",
+    overflow_drop: str = "index",
 ) -> PairRows:
     """Expand, sort, and block-align pairs, carrying ``data`` to every pair.
 
@@ -172,7 +198,8 @@ def build_pair_rows(
     """
     n = proj.depth.shape[0]
     row0 = jnp.asarray(row0, jnp.int32)
-    plan = capacity_plan(proj, tiles_x, tiles_y, pair_capacity, row0)
+    plan = capacity_plan(proj, tiles_x, tiles_y, pair_capacity, row0,
+                         overflow_drop)
     counts, ccounts, coffsets, ty_lo, span_x, total, overflow = plan
     chunk_cap = _chunk_capacity(pair_capacity, n)
 
@@ -444,12 +471,15 @@ def pair_windows_fwd(data, depth, row0, counts, ccounts, coffsets, ty_lo,
         num_blocks,
     )
 
-    # table [16, EP]: row 0 = gid (exact in f32), rows 1..D = render data
+    # table [R, EP]: row 0 = gid (exact in f32), rows 1..D = render data.
+    # R is the sublane-tile-aligned row count (8 when packing shrinks the
+    # columns to 7, else 16): halving R halves every per-block window DMA.
     table = jnp.stack(
         (sorted_gid.astype(jnp.float32),) + tuple(sorted_data), axis=0
     )
+    rows = 8 if table.shape[0] <= 8 else 16
     ep = -(-(e_cap + 2 * block) // 512) * 512
-    table = jnp.pad(table, ((0, 16 - table.shape[0]), (0, ep - e_cap)))
+    table = jnp.pad(table, ((0, rows - table.shape[0]), (0, ep - e_cap)))
 
     # per-block source window: start + live lane count (tiny [NB] gathers)
     t_idx = jnp.minimum(block_tile, num_tiles - 1)

@@ -640,17 +640,27 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
 
+# Max blocks per windowed pallas_call: src + meta scalar-prefetch operands
+# are [NB] i32 each and SMEM is 1 MB, so a single call tops out around 128k
+# blocks.  Chunking the grid keeps each call at <=256 KB of SMEM and makes
+# the pipeline scale to the reference's 16M-pair provisioning
+# (tiled_rasterizer.mm:144: maxPairs = maxGaussians * 8).
+_MAX_CALL_BLOCKS = 32768
+
+
 def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
               out_shapes, cfg_consts):
     """pallas_call builder for the windowed kernels.
 
-    table [16, EP] rides in ANY memory space (manual per-block DMA); the
-    per-block source starts and the packed (valid << 20 | tile) metadata
-    are scalar-prefetched (SMEM is 1 MB — at 8M-pair capacity separate
-    valid/tcx/tcy arrays overflow it)."""
+    table [R, EP] (R = 8 packed / 16 unpacked) rides in ANY memory space
+    (manual per-block DMA); the per-block source starts and the packed
+    (valid << 20 | tile) metadata are scalar-prefetched (SMEM is 1 MB — at
+    8M-pair capacity separate valid/tcx/tcy arrays overflow it, and past
+    ~12M even src+meta do, so the grid is chunked at _MAX_CALL_BLOCKS)."""
     nb = src.shape[0]
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
+    rows = table.shape[0]
     nb_pad = -(-nb // GROUP) * GROUP
     if not _interpret():
         # _win_start_copy aligns DMA window starts to `block`; Mosaic
@@ -676,34 +686,55 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             memory_space=pltpu.VMEM,
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb_pad // GROUP,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((p2, 8), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-        ] + [blk(x.shape[1:]) for x in extra_in],
-        out_specs=tuple(blk(s[1:]) for s in out_shapes)
-        if len(out_shapes) > 1 else blk(out_shapes[0][1:]),
-        scratch_shapes=[
-            pltpu.VMEM((GROUP, 16, 2 * block), jnp.float32),
-            pltpu.SemaphoreType.DMA((GROUP,)),
-        ],
-    )
-    outs = pl.pallas_call(
-        functools.partial(kernel, cfg_consts=cfg_consts),
-        grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nb_pad,) + s[1:], jnp.float32)
-            for s in out_shapes
+    def one_call(src_c, meta_c, extra_c, nb_c):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_c // GROUP,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (p2, 8), lambda g, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ] + [blk(x.shape[1:]) for x in extra_c],
+            out_specs=tuple(blk(s[1:]) for s in out_shapes)
+            if len(out_shapes) > 1 else blk(out_shapes[0][1:]),
+            scratch_shapes=[
+                pltpu.VMEM((GROUP, rows, 2 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((GROUP,)),
+            ],
         )
-        if len(out_shapes) > 1
-        else jax.ShapeDtypeStruct((nb_pad,) + out_shapes[0][1:], jnp.float32),
-        interpret=_interpret(),
-    )(src, meta, row0, table, feats, *extra_in)
-    if len(out_shapes) == 1:
-        return (outs[:nb],)
-    return tuple(o[:nb] for o in outs)
+        return pl.pallas_call(
+            functools.partial(kernel, cfg_consts=cfg_consts),
+            grid_spec=grid_spec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((nb_c,) + s[1:], jnp.float32)
+                for s in out_shapes
+            )
+            if len(out_shapes) > 1
+            else jax.ShapeDtypeStruct((nb_c,) + out_shapes[0][1:], jnp.float32),
+            interpret=_interpret(),
+        )(src_c, meta_c, row0, table, feats, *extra_c)
+
+    if nb_pad <= _MAX_CALL_BLOCKS:
+        outs = one_call(src, meta, extra_in, nb_pad)
+        if len(out_shapes) == 1:
+            return (outs[:nb],)
+        return tuple(o[:nb] for o in outs)
+
+    # chunked grid: table (absolute src offsets) is shared; src/meta/extras
+    # and the per-block outputs slice along the block axis
+    chunks = []
+    for lo in range(0, nb_pad, _MAX_CALL_BLOCKS):
+        hi = min(lo + _MAX_CALL_BLOCKS, nb_pad)
+        outs_c = one_call(
+            src[lo:hi], meta[lo:hi], [x[lo:hi] for x in extra_in], hi - lo
+        )
+        chunks.append(outs_c if len(out_shapes) > 1 else (outs_c,))
+    outs = tuple(
+        jnp.concatenate([c[j] for c in chunks], axis=0)[:nb]
+        for j in range(len(out_shapes))
+    )
+    return outs
 
 
 def windowed_blend_fwd(table, src, valid, tile, row0, block, cfg_consts):

@@ -302,7 +302,8 @@ def render(
 
         (counts, ccounts, coffsets, ty_lo, span_x, total,
          overflow) = pairs_mod.capacity_plan(
-            proj_p, tiles_x, tiles_y, cfg.pair_capacity, row0_i
+            proj_p, tiles_x, tiles_y, cfg.pair_capacity, row0_i,
+            cfg.overflow_drop,
         )
         packed = cfg.payload_dtype == "bf16"
         pcfg = (
@@ -330,7 +331,7 @@ def render(
 
     pair_blocks = pairs_mod.build_pair_rows(
         proj, data, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
-        grad_reduce=cfg.grad_reduce,
+        grad_reduce=cfg.grad_reduce, overflow_drop=cfg.overflow_drop,
     )
     a_cap = pair_blocks.gaussian_id.shape[0]
     num_blocks = a_cap // block

@@ -130,6 +130,122 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
     return jax.jit(step)
 
 
+def make_sharded_train_step_batched(mesh: Mesh, cfg: Config, total_iters: int,
+                                    batch_views: int):
+    """Sharded step over K-stacked views: tile strips across devices AND
+    mean-loss gradient accumulation over views (train_step_batched composed
+    with the strip scheme — the round-2 NotImplementedError).
+
+    Each device vmaps its strip render over the K views; every view's strip
+    all_gathers into the full image so the D-SSIM window crosses strip
+    boundaries exactly as in the single-view sharded step, and one psum per
+    parameter group completes the mean gradient.  Per-view density
+    statistics are recovered through per-view zero dummies exactly as in
+    train_step_batched (the mean-loss means-gradient would blur the
+    per-view contrib gating otherwise)."""
+    num_devices = mesh.devices.size
+    k = batch_views
+
+    def step(state: TrainState, cameras: Camera, gt_images: jnp.ndarray):
+        height, width = cameras.height, cameras.width
+        ts = cfg.raster.tile_size
+        rows_per = strip_rows(height, ts, num_devices)
+        params = state.params
+        capacity = params.capacity
+
+        def device_fn(params, cameras, gt_images):
+            idx = jax.lax.axis_index(TILE_AXIS)
+            row0 = idx * rows_per
+
+            def loss_fn(trainable, vs_dummy, pos_dummy):
+                p = params.replace(**trainable)
+
+                def one_view(cam, gt, vs, pos_d):
+                    pv = p.replace(means=p.means + pos_d)
+                    strip, aux = render(
+                        pv, cam, cfg.raster, vs_dummy=vs,
+                        tile_rows=(row0, rows_per),
+                    )
+                    full = jax.lax.all_gather(strip, TILE_AXIS, axis=0)
+                    full = full.reshape(num_devices * rows_per * ts, width, 3)
+                    img = full[:height]
+                    rep = photometric_loss(img, gt, cfg.loss)
+                    return rep, aux, img
+
+                rep, aux, imgs = jax.vmap(one_view)(
+                    cameras, gt_images, vs_dummy, pos_dummy
+                )
+                # mean over views; / num_devices for the same all_gather-
+                # transpose reason as the single-view sharded step
+                return jnp.mean(rep.grad_loss) / num_devices, (rep, aux, imgs)
+
+            trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
+            vs_zero = jnp.zeros((k, capacity, 2), jnp.float32)
+            pos_zero = jnp.zeros((k, capacity, 3), jnp.float32)
+            (_, (rep, aux, imgs)), (grads, vs_grad, pos_grad) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                    trainable, vs_zero, pos_zero
+                )
+            )
+
+            grads = {f: jax.lax.psum(grads[f], TILE_AXIS) for f in sorted(grads)}
+            vs_grad = jax.lax.psum(vs_grad, TILE_AXIS)
+            pos_grad = jax.lax.psum(pos_grad, TILE_AXIS)
+            # per-view frame totals first (sum strips), THEN the max over
+            # views — the quantity per-strip pair capacity must cover
+            num_pairs = jnp.max(jax.lax.psum(aux.num_pairs, TILE_AXIS))
+            overflow = (
+                jax.lax.psum(jnp.any(aux.overflow).astype(jnp.int32), TILE_AXIS)
+                > 0
+            )
+            return grads, vs_grad, pos_grad, rep, imgs, num_pairs, overflow
+
+        sharded = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(),) * 7,
+            check_vma=False,
+        )
+        grads, vs_grad, pos_grad, rep, imgs, num_pairs, overflow = sharded(
+            params, cameras, gt_images
+        )
+
+        lrs = schedule.learning_rates(cfg.optim, state.opt.t, total_iters)
+        new_params, new_opt = optimizer.step(params, grads, state.opt, lrs, cfg.optim)
+
+        # per-view density statistics: undo the mean-loss 1/K (see
+        # train_step_batched) and fold the K views sequentially
+        def fold(accum, view):
+            vsg, pg = view
+            return density.accumulate(accum, vsg * k, pg * k, cfg.density), None
+
+        new_accum, _ = jax.lax.scan(fold, state.accum, (vs_grad, pos_grad))
+
+        from gaussiansplatting_tpu.train.trainer import (
+            _mean_opacity, _mean_world_scale,
+        )
+
+        metrics = StepMetrics(
+            loss=jnp.mean(rep.combined_mean),
+            l1=jnp.mean(rep.l1_mean),
+            dssim=jnp.mean(rep.dssim_mean),
+            psnr=jnp.mean(psnr(imgs, gt_images)),
+            num_pairs=num_pairs,
+            overflow=overflow,
+            position_lr=lrs.position,
+            num_gaussians=new_params.count(),
+            mean_opacity=_mean_opacity(new_params),
+            mean_world_scale=_mean_world_scale(new_params),
+        )
+        return (
+            state.replace(params=new_params, opt=new_opt, accum=new_accum),
+            metrics,
+        )
+
+    return jax.jit(step)
+
+
 class ShardedRender(NamedTuple):
     image: jnp.ndarray
     num_pairs: jnp.ndarray

@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pair-capacity", type=int, default=None,
                    help="padded (tile,depth) pairs per frame (default 1<<21; "
                         "on --resume, None keeps the checkpoint's value)")
+    p.add_argument("--overflow-drop", choices=("index", "impact"), default=None,
+                   help="which Gaussians lose pairs on overflow: 'index' = "
+                        "emission-order prefix (reference parity, "
+                        "tiled_shaders.metal:779-780), 'impact' = keep the "
+                        "highest opacity*tiles set (better under chronic "
+                        "overflow at a capped capacity)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-interval", type=int, default=5000, help="iters between checkpoints (0=end only)")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --checkpoint-dir")
@@ -128,6 +134,8 @@ def main(argv=None) -> int:
     )
     if args.sh_degree is not None:
         raster = raster.replace(sh_degree=args.sh_degree)
+    if args.overflow_drop is not None:
+        raster = raster.replace(overflow_drop=args.overflow_drop)
     cfg = cfg.replace(raster=raster)
 
     from gaussiansplatting_tpu.parallel import launch
@@ -180,6 +188,8 @@ def main(argv=None) -> int:
                 raster = raster.replace(pair_capacity=args.pair_capacity)
             if args.sh_degree is not None:
                 raster = raster.replace(sh_degree=args.sh_degree)
+            if args.overflow_drop is not None:
+                raster = raster.replace(overflow_drop=args.overflow_drop)
             cfg = cfg.replace(raster=raster)
         log.log("resume", path=latest, iteration=int(state.opt.t))
     else:

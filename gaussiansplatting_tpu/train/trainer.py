@@ -381,11 +381,18 @@ def train_loop(
             from gaussiansplatting_tpu.parallel import mesh as mesh_mod
             from gaussiansplatting_tpu.parallel.sharded import (
                 make_sharded_train_step,
+                make_sharded_train_step_batched,
             )
 
-            sharded_step = make_sharded_train_step(
-                mesh_mod.make_mesh(mesh_devices), cfg, total_iters
-            )
+            if batch_views > 1:
+                sharded_step = make_sharded_train_step_batched(
+                    mesh_mod.make_mesh(mesh_devices), cfg, total_iters,
+                    batch_views,
+                )
+            else:
+                sharded_step = make_sharded_train_step(
+                    mesh_mod.make_mesh(mesh_devices), cfg, total_iters
+                )
             return lambda st, cam, gt: sharded_step(st, cam, gt)
         if batch_views > 1:
             return lambda st, cam, gt: train_step_batched(
@@ -400,8 +407,6 @@ def train_loop(
     order_rng = _random.Random(shuffle_seed) if shuffle_seed is not None else None
 
     if batch_views > 1:
-        if mesh_devices > 1:
-            raise NotImplementedError("batch_views with mesh_devices > 1")
         sizes = {(c.width, c.height) for c in cameras}
         if len(sizes) > 1:
             raise ValueError(f"batch_views requires one resolution, got {sizes}")

@@ -154,3 +154,67 @@ def test_strip_pairs_union_equals_full(rng):
         if g >= 0:
             full.append((int(bt[slot // block]), int(g)))
     assert sorted(parts) == sorted(full)
+
+
+def test_impact_overflow_drop_keeps_highest_impact(rng):
+    """overflow_drop="impact": under a forced overflow the surviving set is
+    exactly the maximal descending (opacity x tiles) prefix that fits, and
+    without overflow the plan matches the "index" mode bit-for-bit."""
+    _, cam, _, proj, _, tiles_x, tiles_y = _setup(rng)
+    full = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, 1 << 20, 0)
+    total_all = int(full[5])
+    assert total_all > 8
+
+    cap = max(total_all // 3, 1)
+    plan_ix = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, cap, 0, "index")
+    plan_im = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, cap, 0, "impact")
+    assert bool(plan_ix[6]) and bool(plan_im[6])          # both overflowed
+    counts_full = np.asarray(full[0])
+    counts_im = np.asarray(plan_im[0])
+    kept = counts_im > 0
+
+    # survivors form the greedy maximal prefix by descending impact
+    impact = np.asarray(proj.opacity) * counts_full
+    order = np.argsort(-np.where(counts_full > 0, impact, -1.0), kind="stable")
+    csum = np.cumsum(counts_full[order])
+    ccsum = np.cumsum(-(-counts_full[order] // pairs_mod.PAIR_CHUNK))
+    chunk_cap = pairs_mod._chunk_capacity(cap, counts_full.shape[0])
+    want_kept = np.zeros_like(kept)
+    want_kept[order] = (csum <= cap) & (ccsum <= chunk_cap)
+    want_kept &= counts_full > 0
+    np.testing.assert_array_equal(kept, want_kept & (counts_full > 0))
+
+    # impact mode keeps at least as many pairs as the index prefix
+    assert counts_im.sum() <= cap
+    assert counts_im.sum() >= np.asarray(plan_ix[0]).sum()
+
+    # no overflow -> identical plans
+    big_ix = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, 1 << 20, 0, "index")
+    big_im = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, 1 << 20, 0, "impact")
+    for a, b in zip(big_ix, big_im):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_impact_drop_renders_and_differentiates(rng):
+    """The impact drop composes with the full windowed render + VJP."""
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from conftest import make_camera_for_scene
+
+    means, log_scales, quats, raw_op, sh_dc = make_scene(rng, n=64, spread=0.7)
+    sh = np.zeros((64, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    params = G.from_arrays(means, log_scales, quats, raw_op, sh)
+    cam = make_camera_for_scene(width=64, height=48)
+    cfg = RasterConfig(pair_capacity=64, pair_block=16, blend_impl="pallas",
+                       overflow_drop="impact")
+
+    def loss(p):
+        img, aux = render(p, cam, cfg)
+        return jnp.sum(img ** 2), aux
+
+    (val, aux), grads = jax.jit(
+        jax.value_and_grad(loss, has_aux=True, allow_int=True)
+    )(params)
+    assert bool(aux.overflow)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grads.means)).all()

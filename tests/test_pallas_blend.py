@@ -159,3 +159,74 @@ def test_windowed_strip_render_matches_xla(rng):
             err_msg=f"strip row0={row0}",
         )
         assert int(aux_x.num_pairs) == int(aux_p.num_pairs)
+
+
+def test_windowed_chunked_grid_matches_single_call(rng, monkeypatch):
+    """Past _MAX_CALL_BLOCKS the windowed blend splits into several
+    pallas_calls over block slices (the SMEM scalar-prefetch ceiling at
+    reference-scale pair provisioning, tiled_rasterizer.mm:144).  Forcing a
+    tiny chunk size must reproduce the single-call image and gradients
+    bit-for-bit — the table and absolute source offsets are shared."""
+    from gaussiansplatting_tpu.ops import pallas_blend
+
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=48)
+    _, cfg_p = _cfgs()
+    weights = jnp.asarray(
+        rng.uniform(0.5, 1.0, (48, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p):
+        img, _ = render(p, cam, cfg_p)
+        return jnp.sum(img * weights)
+
+    img1, aux1 = render(params, cam, cfg_p)
+    g1 = jax.grad(loss, allow_int=True)(params)
+    monkeypatch.setattr(pallas_blend, "_MAX_CALL_BLOCKS", 16)
+    img2, aux2 = render(params, cam, cfg_p)
+    g2 = jax.grad(loss, allow_int=True)(params)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g1, f)), np.asarray(getattr(g2, f)), err_msg=f
+        )
+
+
+def test_packed_table_has_eight_rows(rng):
+    """bf16 payload packing shrinks the window table to one sublane tile
+    (8 rows), halving every per-block window DMA."""
+    from gaussiansplatting_tpu.ops import pairs as pairs_mod
+    from gaussiansplatting_tpu.ops import projection as proj_mod
+
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=48)
+
+    for dtype, want_rows in (("f32", 16), ("bf16", 8)):
+        cfg = RasterConfig(
+            pair_capacity=2048, pair_block=16, blend_impl="pallas",
+            payload_dtype=dtype,
+        )
+        proj = proj_mod.project(params, cam, cfg)
+        order = jnp.argsort(proj.depth)
+        proj_p = jax.tree_util.tree_map(lambda x: x[order], proj)
+        data = jnp.concatenate(
+            [proj_p.screen_pos, proj_p.conic, proj_p.opacity[:, None],
+             proj_p.color], axis=-1,
+        )
+        tiles_x = proj_mod.num_tiles(cam.width, cfg.tile_size)
+        tiles_y = proj_mod.num_tiles(cam.height, cfg.tile_size)
+        plan = pairs_mod.capacity_plan(
+            proj_p, tiles_x, tiles_y, cfg.pair_capacity, jnp.int32(0)
+        )
+        counts, ccounts, coffsets, ty_lo, span_x, total, _ = plan
+        pcfg = (
+            params.means.shape[0], cfg.pair_capacity, tiles_x, tiles_y,
+            cfg.pair_block, cfg.grad_reduce,
+            pairs_mod._chunk_capacity(cfg.pair_capacity, params.means.shape[0]),
+            True, dtype == "bf16",
+        )
+        table, *_ = pairs_mod.pair_windows_fwd(
+            data, proj_p.depth, jnp.int32(0), counts, ccounts, coffsets,
+            ty_lo, proj_p.tile_min[:, 0], span_x, pcfg,
+        )
+        assert table.shape[0] == want_rows, (dtype, table.shape)

@@ -181,3 +181,84 @@ def test_sharded_step_with_pallas_blend(rng):
     np.testing.assert_allclose(
         np.asarray(st.params.means), np.asarray(st_x.params.means), atol=2e-5
     )
+
+
+def test_batched_sharded_step_matches_single_chip_batched(rng):
+    """batch_views composed with mesh_devices (the round-2
+    NotImplementedError): one sharded K=2 accumulation step equals the
+    single-chip train_step_batched — parameters, Adam state, and density
+    accumulators."""
+    from gaussiansplatting_tpu.parallel.sharded import (
+        make_sharded_train_step_batched,
+    )
+
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)
+    gt_params = _params(rng)
+    gt1, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+    gt2 = jnp.clip(gt1 * 0.8 + 0.1, 0.0, 1.0)
+
+    cams_k = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), cam, cam)
+    gts_k = jnp.stack([gt1, gt2])
+
+    start = _params(np.random.default_rng(99))
+    st_single = train_state.create(start)
+    st_shard = train_state.create(start)
+
+    st_single, m_single = trainer.train_step_batched(
+        st_single, cams_k, gts_k, cfg, 100
+    )
+    m = mesh_mod.make_mesh()
+    sstep = make_sharded_train_step_batched(m, cfg, 100, 2)
+    st_shard, m_shard = sstep(st_shard, cams_k, gts_k)
+
+    np.testing.assert_allclose(
+        float(m_single.loss), float(m_shard.loss), rtol=1e-5
+    )
+    assert int(m_single.num_pairs) == int(m_shard.num_pairs)
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_single.params, f)),
+            np.asarray(getattr(st_shard.params, f)),
+            atol=1e-5, err_msg=f,
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_single.accum.grad_accum),
+        np.asarray(st_shard.accum.grad_accum), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_single.accum.grad_count),
+        np.asarray(st_shard.accum.grad_count),
+    )
+
+
+def test_batched_sharded_loop_with_densify(rng):
+    """train_loop with batch_views>1 AND mesh_devices>1 runs the densify /
+    reset schedule end to end (the previously unsupported composition)."""
+    from gaussiansplatting_tpu.config import DensityConfig
+
+    cfg = _cfg().replace(
+        density=DensityConfig(
+            densify_from_iter=1, densify_until_iter=50, densify_interval=3,
+            opacity_reset_interval=8, grad_threshold=1e-9,
+        ),
+    )
+    cam = make_camera_for_scene(width=64, height=48)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    means, log_scales, quats, raw_op, sh_dc = make_scene(
+        np.random.default_rng(11), n=24, spread=0.6
+    )
+    sh = np.zeros((24, 4, 3), np.float32)
+    sh[:, 0, :] = sh_dc
+    start = G.from_arrays(means, log_scales, quats, raw_op, sh, capacity=96)
+
+    st = train_state.create(start)
+    st = trainer.train_loop(
+        st, [cam, cam], [gt, gt], cfg, scene_extent=1.0, num_epochs=8,
+        mesh_devices=min(2, len(jax.devices())), batch_views=2,
+    )
+    assert int(st.opt.t) == 8
+    assert int(np.asarray(st.params.alive).sum()) > 24
+    assert np.isfinite(np.asarray(st.params.means)).all()

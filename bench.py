@@ -107,6 +107,30 @@ def main() -> None:
     best_ips = srt[-1]
     mpix_per_sec = median_ips * width * height / 1e6
 
+    # distance to speed of light (utils/sol.py): single-touch bytes + MXU
+    # flops at the dispatched static shapes vs the measured step time
+    from gaussiansplatting_tpu.utils import sol
+
+    m = sol.step_model(
+        n_gauss, pair_cap, height, width,
+        packed=cfg.raster.payload_dtype == "bf16",
+    )
+    step_ms = 1e3 / best_ips     # best window ~= the hardware's own rate
+    sol_detail = {
+        "hbm_gbps_achieved": round(m["bytes_total"] / step_ms / 1e6, 1),
+        "mfu_pct": round(
+            m["mxu_flops"] / (step_ms * 1e-3) / (sol.V5E_F32_TFLOPS * 1e12)
+            * 100.0, 2,
+        ),
+        "model_bound_fraction": round(m["floor_ms"] / step_ms, 3),
+        "floor_ms_single_touch": round(m["floor_ms"], 2),
+        "note": (
+            "single-touch byte model (lax.sort really multi-pass, ~9x "
+            "per operand) — achieved GB/s understates truth; see "
+            "utils/sol.py + docs/DESIGN.md"
+        ),
+    }
+
     # per-stage split (the reference's per-100-frame stage printout,
     # tiled_rasterizer.mm:639-671): cumulative stages measured with the same
     # fori-loop differencing as tools/profile.py
@@ -148,6 +172,7 @@ def main() -> None:
                     "stages_ms_cumulative": {
                         k: round(v, 2) for k, v in stages.items()
                     },
+                    "speed_of_light": sol_detail,
                     "baseline_anchor": (
                         "10 iters/s: official-3DGS A6000 rate (~14 it/s @ "
                         "1.09 Mpix = ~31 it/s @ this 0.49 Mpix) scaled ~1/3 "

@@ -69,6 +69,24 @@ def _row(ref, i):
     return ref[i][None, :]
 
 
+def _tri_dot(x, tri, low_precision):
+    """x [P2, B] @ tri [B, B] — THE flop-dominant matmuls of the blend
+    kernels (503 GFLOP/step at the bench shapes, docs/DESIGN.md speed-of-
+    light floor).  With ``low_precision`` (the bf16 payload mode) both
+    operands go to the MXU as bf16 with f32 accumulation: the 0/1 triangle
+    is exact in bf16, quantizing x costs ~2^-8 relative — inside the
+    reference's own half-precision blend envelope
+    (tiled_shaders.metal:326-328) — and fp32-peak 10 ms of matmul becomes
+    ~2.6 ms at bf16 peak."""
+    if low_precision:
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), tri.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
 def _coef8(mx, my, a, b, c):
     """[8, B] coefficients of -0.5 d^T conic d over the pixel monomials
     (x2, xy, y2, x, y, 1) + 2 zero rows, from [1, B] columns (mirrors
@@ -527,7 +545,7 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             _, _, a, l, _ = _replay(
                 coef, op, feats, power_floor, alpha_cap, alpha_floor
             )
-            cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+            cum_incl = _tri_dot(l, tril, packed)
             t = jnp.exp(cum_incl - l)
             wgt = a * t
             z = jnp.zeros_like(cr)
@@ -582,7 +600,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             power, a_raw, a, l, mask = _replay(
                 coef, op, feats, power_floor, alpha_cap, alpha_floor
             )
-            cum_incl = jnp.dot(l, tril, preferred_element_type=jnp.float32)
+            cum_incl = _tri_dot(l, tril, packed)
             t = jnp.exp(cum_incl - l)
             wgt = a * t
 
@@ -598,7 +616,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 preferred_element_type=jnp.float32,
             )
             ew = e * wgt
-            dl = jnp.dot(ew, triu, preferred_element_type=jnp.float32) + g_s[:, None]
+            dl = _tri_dot(ew, triu, packed) + g_s[:, None]
             da = e * t - dl / (1.0 - a)
             dpow = jnp.where(mask, da * a_raw, 0.0)
 
@@ -691,7 +709,7 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             num_scalar_prefetch=3,
             grid=(nb_c // GROUP,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (p2, 8), lambda g, *_: (0, 0), memory_space=pltpu.VMEM
                 ),

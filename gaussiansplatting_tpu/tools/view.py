@@ -11,6 +11,15 @@ reference's viewer instead re-sorts splats globally per frame
   python -m gaussiansplatting_tpu.tools.view --ply model.ply [--port 8000]
       [--width 800 --height 600] [--fov 60] [--sh-degree 0]
 
+INTERACTIVE TRAINING (the reference's train-while-displaying run loop,
+mtl_engine.mm:98-155): pass a COLMAP dataset instead of (or with) a PLY and
+the page gains a "train" button + auto-train toggle that drive the real
+train step — densify / opacity-reset events on the reference cadence —
+between frames:
+
+  python -m gaussiansplatting_tpu.tools.view --colmap scene/sparse/0 \
+      --images scene/images [--checkpoint ckpt/latest.npz] [--iters 30000]
+
 Then open http://localhost:8000/ (ssh -L 8000:localhost:8000 for remote).
 One render resolution is compiled once; frames are JPEG over HTTP.  On a
 TPU chip a frame is tens of ms — interactive; on CPU use small sizes.
@@ -36,11 +45,35 @@ _PAGE = """<!doctype html>
   img { display:block; margin:0 auto; image-rendering:auto; }
 </style></head><body>
 <div id="hud">drag = orbit · wheel = dolly · shift-drag = pan · loading…</div>
+<div id="trainbar" style="position:fixed;top:8px;right:8px;background:#000a;
+     padding:6px 8px;border-radius:4px;display:none">
+  <button id="tbtn">train 100</button>
+  <label><input type="checkbox" id="tauto"> auto</label>
+  <span id="tinfo"></span>
+</div>
 <img id="v" draggable="false">
 <script>
 const img = document.getElementById('v'), hud = document.getElementById('hud');
-let st = null, busy = false, dirty = true;
-fetch('/state').then(r => r.json()).then(s => { st = s; tick(); });
+let st = null, busy = false, dirty = true, training = false;
+const tbtn = document.getElementById('tbtn'), tauto = document.getElementById('tauto'),
+      tinfo = document.getElementById('tinfo');
+function trainOnce(n) {
+  if (training) return;
+  training = true;
+  fetch('/train?n=' + n).then(r => r.json()).then(j => {
+    tinfo.textContent = ' it ' + j.iteration + ' loss ' + j.loss.toFixed(4) +
+      ' n ' + j.num_gaussians;
+    training = false; dirty = true;
+    if (tauto.checked) setTimeout(() => trainOnce(n), 0);
+  }).catch(() => { training = false; });
+}
+tbtn.addEventListener('click', () => trainOnce(100));
+tauto.addEventListener('change', () => { if (tauto.checked) trainOnce(100); });
+fetch('/state').then(r => r.json()).then(s => {
+  st = s;
+  if (s.trainable) document.getElementById('trainbar').style.display = 'block';
+  tick();
+});
 function url() {
   return '/frame?az=' + st.az.toFixed(4) + '&el=' + st.el.toFixed(4) +
     '&r=' + st.r.toFixed(4) + '&cx=' + st.cx.toFixed(4) +
@@ -97,6 +130,57 @@ class ViewerState:
         self.radius = radius
         self.lock = threading.Lock()  # one device program at a time
         self._render = jax.jit(raster_render, static_argnums=2)
+        # interactive-training fields (attach_trainer)
+        self.tstate = None
+        self.cameras = None
+        self.gts = None
+        self.extent = 1.0
+        self.total_iters = 30_000
+        self.iteration = 0
+
+    def attach_trainer(self, tstate, cameras, gts, extent, total_iters,
+                       iteration=0):
+        """Enable the train button: the viewer drives the REAL train step
+        (densify/reset on the reference cadence) between frames, matching
+        the reference's interactive-training branch (mtl_engine.mm:98-155)."""
+        self.tstate = tstate
+        self.cameras = cameras
+        self.gts = gts
+        self.extent = extent
+        self.total_iters = total_iters
+        self.iteration = iteration
+        self.params = tstate.params
+
+    def train(self, n: int) -> dict:
+        """Run n train iterations (view order fixed, reference parity) and
+        return the last step's scalar metrics."""
+        from gaussiansplatting_tpu.train import trainer
+
+        n = max(1, min(int(n), 1000))
+        with self.lock:
+            st = self.tstate
+            metrics = None
+            for _ in range(n):
+                v = self.iteration % len(self.cameras)
+                cam, gt = self.cameras[v], self.gts[v]
+                st, metrics = trainer.train_step(
+                    st, cam, gt, self.cfg, self.total_iters
+                )
+                self.iteration += 1
+                if trainer.should_densify(self.iteration, self.cfg):
+                    st, _ = trainer.densify_step(
+                        st, self.extent, cam.fx, self.cfg
+                    )
+                if trainer.should_reset_opacity(self.iteration, self.cfg):
+                    st = trainer.opacity_reset_step(st, self.cfg)
+            self.tstate = st
+            self.params = st.params
+            return {
+                "iteration": self.iteration,
+                "loss": float(metrics.loss),
+                "psnr": float(metrics.psnr),
+                "num_gaussians": int(metrics.num_gaussians),
+            }
 
     def frame_jpeg(self, az, el, r, cx, cy, cz, quality=85) -> bytes:
         from PIL import Image
@@ -139,7 +223,22 @@ def make_handler(state: ViewerState):
                     "cx": float(state.center[0]),
                     "cy": float(state.center[1]),
                     "cz": float(state.center[2]),
+                    "trainable": state.tstate is not None,
                 }).encode())
+            elif u.path == "/train":
+                if state.tstate is None:
+                    self._send(400, "application/json",
+                               b'{"error": "no dataset attached"}')
+                    return
+                q = parse_qs(u.query)
+                try:
+                    n = int(q.get("n", ["100"])[0])
+                except ValueError:
+                    n = 100
+                self._send(
+                    200, "application/json",
+                    json.dumps(state.train(n)).encode(),
+                )
             elif u.path == "/frame":
                 q = parse_qs(u.query)
 
@@ -183,9 +282,59 @@ def build_state(ply, width, height, fov, sh_degree, pair_capacity):
     )
 
 
+def build_training_state(args):
+    """Dataset-backed viewer: params come from a checkpoint (if given) or
+    SfM init, and the train button drives the real schedule."""
+    import jax
+
+    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.io.dataset import load_colmap_scene
+    from gaussiansplatting_tpu.train import checkpoint as ckpt_mod
+    from gaussiansplatting_tpu.train import state as state_mod
+
+    cfg = Config(raster=RasterConfig(
+        pair_capacity=args.pair_capacity, sh_degree=args.sh_degree
+    ))
+    scene = load_colmap_scene(
+        args.colmap, args.images, cfg, downscale=args.downscale
+    )
+    iteration = 0
+    if args.checkpoint:
+        tstate, saved_cfg = ckpt_mod.load(args.checkpoint)
+        if saved_cfg is not None:
+            cfg = saved_cfg
+        iteration = int(tstate.opt.t)
+    else:
+        tstate = state_mod.create(scene.params, seed=cfg.train.seed)
+
+    params = tstate.params
+    means = np.asarray(params.means)
+    alive = np.asarray(params.alive)
+    pts = means[alive] if alive.any() else means
+    center = pts.mean(axis=0)
+    spread = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90))
+    state = ViewerState(
+        params, cfg, args.width, args.height, args.fov, center,
+        max(spread * 2.5, 1e-3),
+    )
+    gts = [jax.device_put(g) for g in scene.gt_images]
+    state.attach_trainer(
+        tstate, scene.cameras, gts, scene.extent, args.iters, iteration
+    )
+    return state
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ply", required=True)
+    p.add_argument("--ply", default=None, help="view a PLY (no training)")
+    p.add_argument("--colmap", default=None,
+                   help="COLMAP sparse dir — enables interactive training")
+    p.add_argument("--images", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="resume training state from this .npz")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--iters", type=int, default=30_000,
+                   help="total-iteration horizon for the LR schedule")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
@@ -194,10 +343,17 @@ def main(argv=None) -> int:
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     args = p.parse_args(argv)
 
-    state = build_state(
-        args.ply, args.width, args.height, args.fov, args.sh_degree,
-        args.pair_capacity,
-    )
+    if args.colmap:
+        if not args.images:
+            raise SystemExit("error: --colmap needs --images")
+        state = build_training_state(args)
+    elif args.ply:
+        state = build_state(
+            args.ply, args.width, args.height, args.fov, args.sh_degree,
+            args.pair_capacity,
+        )
+    else:
+        raise SystemExit("error: pass --ply or --colmap/--images")
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(state))
     print(f"viewer at http://localhost:{args.port}/ "
           f"({state.width}x{state.height}, n={int(np.asarray(state.params.alive).sum())})",

@@ -362,3 +362,47 @@ def test_view_server_serves_frames(tmp_path, rng):
         assert len(jpg) > 500
     finally:
         srv.shutdown()
+
+
+def test_view_server_interactive_training(tiny_scene_dir):
+    """Viewer with a COLMAP dataset attached: /train runs real train steps
+    (the reference's train-while-displaying loop, mtl_engine.mm:98-155),
+    the loss is finite, the iteration advances, and the next frame renders
+    from the UPDATED parameters."""
+    import argparse
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from gaussiansplatting_tpu.tools import view as view_mod
+
+    args = argparse.Namespace(
+        colmap=str(tiny_scene_dir / "sparse"),
+        images=str(tiny_scene_dir / "images"),
+        checkpoint=None, downscale=1, iters=100,
+        width=64, height=48, fov=60.0, sh_degree=0, pair_capacity=2048,
+    )
+    state = view_mod.build_training_state(args)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), view_mod.make_handler(state))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=30
+        ).read())
+        assert st["trainable"] is True
+        r = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/train?n=3", timeout=300
+        ).read())
+        assert r["iteration"] == 3
+        assert np.isfinite(r["loss"])
+        assert r["num_gaussians"] > 0
+        jpg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?az=0.3&el=0.2", timeout=120
+        ).read()
+        assert jpg[:2] == b"\xff\xd8"
+        # params actually advanced
+        assert state.iteration == 3
+        assert int(state.tstate.opt.t) == 3
+    finally:
+        srv.shutdown()

@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pair-capacity", type=int, default=None,
                    help="padded (tile,depth) pairs per frame (default 1<<21; "
                         "on --resume, None keeps the checkpoint's value)")
+    p.add_argument("--payload-dtype", choices=("f32", "bf16"), default=None,
+                   help="sort-payload precision for render data / cotangents "
+                        "(bf16 = 2-in-1 packed operands + bf16 MXU prefix "
+                        "matmuls, ops/packing.py; the reference blends in "
+                        "half precision, tiled_shaders.metal:326-328)")
     p.add_argument("--overflow-drop", choices=("index", "impact"), default=None,
                    help="which Gaussians lose pairs on overflow: 'index' = "
                         "emission-order prefix (reference parity, "
@@ -136,6 +141,8 @@ def main(argv=None) -> int:
         raster = raster.replace(sh_degree=args.sh_degree)
     if args.overflow_drop is not None:
         raster = raster.replace(overflow_drop=args.overflow_drop)
+    if args.payload_dtype is not None:
+        raster = raster.replace(payload_dtype=args.payload_dtype)
     cfg = cfg.replace(raster=raster)
 
     from gaussiansplatting_tpu.parallel import launch
@@ -190,6 +197,8 @@ def main(argv=None) -> int:
                 raster = raster.replace(sh_degree=args.sh_degree)
             if args.overflow_drop is not None:
                 raster = raster.replace(overflow_drop=args.overflow_drop)
+            if args.payload_dtype is not None:
+                raster = raster.replace(payload_dtype=args.payload_dtype)
             cfg = cfg.replace(raster=raster)
         log.log("resume", path=latest, iteration=int(state.opt.t))
     else:

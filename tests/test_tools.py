@@ -406,3 +406,33 @@ def test_view_server_interactive_training(tiny_scene_dir):
         assert int(state.tstate.opt.t) == 3
     finally:
         srv.shutdown()
+
+
+def test_train_cli_round3_flags(tiny_scene_dir, tmp_path):
+    """--payload-dtype bf16 / --overflow-drop impact / --scan-steps all
+    plumb through the CLI into a working run."""
+    from gaussiansplatting_tpu.tools import train as train_cli
+    from gaussiansplatting_tpu.io import ply as ply_mod
+
+    out_ply = str(tmp_path / "out3.ply")
+    cfg_path = str(tmp_path / "cfg3.json")
+    cfg = Config(
+        raster=RasterConfig(pair_capacity=2048, pair_block=16),
+        train=TrainConfig(epochs=2, log_interval=100),
+    )
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    rc = train_cli.main([
+        "--colmap", str(tiny_scene_dir / "sparse"),
+        "--images", str(tiny_scene_dir / "images"),
+        "--output", out_ply,
+        "--config", cfg_path,
+        "--capacity", "64",
+        "--pair-capacity", "2048",
+        "--payload-dtype", "bf16",
+        "--overflow-drop", "impact",
+        "--scan-steps", "2",
+    ])
+    assert rc == 0
+    cloud = ply_mod.load_gaussian_ply(out_ply)
+    assert np.isfinite(cloud.means).all()

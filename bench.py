@@ -57,8 +57,16 @@ def main() -> None:
     # the same.  GS_BENCH_DSSIM_GRAD=1 measures the beyond-reference mode
     # (differentiated D-SSIM, the framework default for training quality).
     dssim_in_grad = bool(int(os.environ.get("GS_BENCH_DSSIM_GRAD", "0")))
+    # bf16 sort-payload packing + bf16 MXU prefix matmuls by default: the
+    # reference itself blends in HALF precision (tiled_shaders.metal:
+    # 326-328), so sub-f32 render-data/cotangent precision is inside its
+    # numerical envelope (VERDICT r2 item 1a).  GS_BENCH_PAYLOAD=f32
+    # measures the full-precision mode.
+    payload = os.environ.get("GS_BENCH_PAYLOAD", "bf16")
     cfg = Config(
-        raster=RasterConfig(pair_capacity=pair_cap, pair_block=128),
+        raster=RasterConfig(
+            pair_capacity=pair_cap, pair_block=128, payload_dtype=payload
+        ),
         loss=LossConfig(dssim_in_grad=dssim_in_grad),
     )
     params = synthetic.make_scene(n=n_gauss, seed=0)
@@ -162,6 +170,7 @@ def main() -> None:
                     "scan_steps": steps,
                     "windows": [round(w, 3) for w in windows],
                     "num_pairs": int(metrics.num_pairs),
+                    "payload_dtype": payload,
                     "dssim_in_grad": dssim_in_grad,
                     "loss_semantics": (
                         "reference parity: L1-only backward "

@@ -297,8 +297,33 @@ def render(
         )
         row0_i = jnp.asarray(row0, jnp.int32)
         order = jnp.argsort(proj.depth)
-        proj_p = jax.tree_util.tree_map(lambda x: x[order], proj)
-        data = data[order]          # VJP: an N-sized scatter, ~free
+        # ONE fused [N, 15] row-gather applies the permutation (gather cost
+        # is per-INDEX, row width free — docs/DESIGN.md cost model; a
+        # field-by-field tree_map risks ~12 separate N-index gathers).
+        # Integer fields are exact in f32 (all < 2^24).
+        cols = jnp.concatenate(
+            [
+                proj.depth[:, None],
+                proj.tile_min.astype(jnp.float32),
+                proj.tile_max.astype(jnp.float32),
+                proj.n_tiles.astype(jnp.float32)[:, None],
+                data,
+            ],
+            axis=-1,
+        )[order]
+        data = cols[:, 6:]          # VJP: an N-sized scatter, ~free
+        proj_p = proj_mod.Projected(
+            screen_pos=data[:, :2],
+            conic=data[:, 2:5],
+            depth=cols[:, 0],
+            opacity=data[:, 5],
+            color=data[:, 6:9],
+            radius=jnp.zeros_like(cols[:, 0]),          # unused post-plan
+            tile_min=cols[:, 1:3].astype(jnp.int32),
+            tile_max=cols[:, 3:5].astype(jnp.int32),
+            n_tiles=cols[:, 5].astype(jnp.int32),
+            valid=cols[:, 5] > 0,
+        )
 
         (counts, ccounts, coffsets, ty_lo, span_x, total,
          overflow) = pairs_mod.capacity_plan(

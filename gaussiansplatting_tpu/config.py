@@ -78,6 +78,12 @@ class RasterConfig(_Replaceable):
     # capped capacity under CHRONIC overflow sheds the least visible content
     # (see ops/pairs.capacity_plan).
     overflow_drop: str = "index"
+    # Scales the expansion chunk-padding allowance (ops/pairs._chunk_capacity):
+    # 1.0 provisions the worst case (one wasted chunk per live Gaussian);
+    # 0.5 matches typical waste and cuts the fat-sort rows ~20% at reference
+    # scale.  Undersizing only trips the chunk-cap overflow path (whole-
+    # Gaussian drop + adaptive growth) — never memory unsafety.
+    chunk_slack: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,13 +63,20 @@ def _float0(x):
 PAIR_CHUNK = 8
 
 
-def _chunk_capacity(pair_capacity: int, n: int) -> int:
+def _chunk_capacity(pair_capacity: int, n: int, slack: float = 1.0) -> int:
     """Static chunk-slot capacity: enough chunks for pair_capacity fully
     packed pairs plus per-Gaussian padding waste (< PAIR_CHUNK-1 each for up
     to n live Gaussians, capped so huge Gaussian capacities don't balloon
-    the sort rows)."""
+    the sort rows).
+
+    ``slack`` scales the padding allowance: 1.0 covers the WORST case
+    (every live Gaussian wastes a full chunk); typical waste is ~half, so
+    at reference scale (1.5M Gaussians / 16M pairs) slack=0.5 cuts the fat
+    sort from 28M to 22M rows.  An undersized allowance just trips the
+    chunk-cap overflow path (whole-Gaussian drop + adaptive growth), never
+    memory unsafety."""
     base = -(-pair_capacity // PAIR_CHUNK)
-    return base + min(n, base)
+    return base + int(min(n, base) * slack)
 
 
 def _run_ids(starts: jnp.ndarray, run_live: jnp.ndarray, num_slots: int) -> jnp.ndarray:
@@ -112,7 +119,7 @@ def aligned_capacity(pair_capacity: int, num_tiles: int, block: int) -> int:
 
 
 def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0,
-                  overflow_drop: str = "index"):
+                  overflow_drop: str = "index", chunk_slack: float = 1.0):
     """Per-Gaussian pair/chunk counts with the capacity drop applied.
 
     Intersects each Gaussian's tile rect with the strip's row range, then
@@ -136,7 +143,7 @@ def capacity_plan(proj: Projected, tiles_x, tiles_y, pair_capacity, row0,
     Returns (counts, ccounts, coffsets, ty_lo, span_x, total, overflow).
     """
     n = proj.depth.shape[0]
-    chunk_cap = _chunk_capacity(pair_capacity, n)
+    chunk_cap = _chunk_capacity(pair_capacity, n, chunk_slack)
     ty_lo = jnp.maximum(proj.tile_min[:, 1], row0)
     ty_hi = jnp.minimum(proj.tile_max[:, 1], row0 + tiles_y - 1)
     span_y = jnp.maximum(ty_hi - ty_lo + 1, 0)
@@ -183,6 +190,7 @@ def build_pair_rows(
     row0=0,
     grad_reduce: str = "sortprefix",
     overflow_drop: str = "index",
+    chunk_slack: float = 1.0,
 ) -> PairRows:
     """Expand, sort, and block-align pairs, carrying ``data`` to every pair.
 
@@ -199,9 +207,9 @@ def build_pair_rows(
     n = proj.depth.shape[0]
     row0 = jnp.asarray(row0, jnp.int32)
     plan = capacity_plan(proj, tiles_x, tiles_y, pair_capacity, row0,
-                         overflow_drop)
+                         overflow_drop, chunk_slack)
     counts, ccounts, coffsets, ty_lo, span_x, total, overflow = plan
-    chunk_cap = _chunk_capacity(pair_capacity, n)
+    chunk_cap = _chunk_capacity(pair_capacity, n, chunk_slack)
 
     cfg = (int(n), int(pair_capacity), int(tiles_x), int(tiles_y),
            int(block), str(grad_reduce), int(chunk_cap))

@@ -328,13 +328,13 @@ def render(
         (counts, ccounts, coffsets, ty_lo, span_x, total,
          overflow) = pairs_mod.capacity_plan(
             proj_p, tiles_x, tiles_y, cfg.pair_capacity, row0_i,
-            cfg.overflow_drop,
+            cfg.overflow_drop, cfg.chunk_slack,
         )
         packed = cfg.payload_dtype == "bf16"
         pcfg = (
             int(n), int(cfg.pair_capacity), int(tiles_x), int(tiles_y),
             int(block), str(cfg.grad_reduce),
-            pairs_mod._chunk_capacity(cfg.pair_capacity, n),
+            pairs_mod._chunk_capacity(cfg.pair_capacity, n, cfg.chunk_slack),
             True,    # depth-presorted: tile sort is single-key
             bool(packed),  # bf16 2-in-1 payload packing (ops/packing.py)
         )
@@ -357,6 +357,7 @@ def render(
     pair_blocks = pairs_mod.build_pair_rows(
         proj, data, tiles_x, tiles_y, cfg.pair_capacity, block, row0=row0,
         grad_reduce=cfg.grad_reduce, overflow_drop=cfg.overflow_drop,
+        chunk_slack=cfg.chunk_slack,
     )
     a_cap = pair_blocks.gaussian_id.shape[0]
     num_blocks = a_cap // block

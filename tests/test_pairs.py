@@ -218,3 +218,27 @@ def test_impact_drop_renders_and_differentiates(rng):
     assert bool(aux.overflow)
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(grads.means)).all()
+
+
+def test_chunk_slack_reduces_rows_and_trips_overflow_cleanly(rng):
+    """chunk_slack scales the expansion padding allowance; an undersized
+    allowance trips the chunk-cap overflow path (whole-Gaussian drop),
+    never an error, and slack=1.0 is the exact worst case."""
+    _, cam, _, proj, _, tiles_x, tiles_y = _setup(rng)
+    assert pairs_mod._chunk_capacity(4096, 1000, 0.5) < \
+        pairs_mod._chunk_capacity(4096, 1000, 1.0)
+
+    # with slack=1.0 nothing overflows at a generous pair cap
+    full = pairs_mod.capacity_plan(proj, tiles_x, tiles_y, 1 << 20, 0)
+    assert not bool(full[6])
+    # zero slack at a pair cap equal to exact demand: padding pushes the
+    # chunk demand past the allowance, and the plan reports overflow with
+    # consistent (reduced) counts rather than failing
+    total = int(full[5])
+    tight = pairs_mod.capacity_plan(
+        proj, tiles_x, tiles_y, total, 0, "index", 0.0
+    )
+    counts = np.asarray(tight[0])
+    assert counts.sum() <= total
+    if bool(tight[6]):
+        assert counts.sum() < np.asarray(full[0]).sum()

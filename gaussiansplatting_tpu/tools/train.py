@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bf16 = 2-in-1 packed operands + bf16 MXU prefix "
                         "matmuls, ops/packing.py; the reference blends in "
                         "half precision, tiled_shaders.metal:326-328)")
+    p.add_argument("--chunk-slack", type=float, default=None,
+                   help="expansion chunk-padding allowance scale (1.0 = "
+                        "worst case; 0.5 cuts fat-sort rows ~20%% at "
+                        "reference scale, overflow path covers undersizing)")
     p.add_argument("--overflow-drop", choices=("index", "impact"), default=None,
                    help="which Gaussians lose pairs on overflow: 'index' = "
                         "emission-order prefix (reference parity, "
@@ -143,6 +147,8 @@ def main(argv=None) -> int:
         raster = raster.replace(overflow_drop=args.overflow_drop)
     if args.payload_dtype is not None:
         raster = raster.replace(payload_dtype=args.payload_dtype)
+    if args.chunk_slack is not None:
+        raster = raster.replace(chunk_slack=args.chunk_slack)
     cfg = cfg.replace(raster=raster)
 
     from gaussiansplatting_tpu.parallel import launch
@@ -199,6 +205,8 @@ def main(argv=None) -> int:
                 raster = raster.replace(overflow_drop=args.overflow_drop)
             if args.payload_dtype is not None:
                 raster = raster.replace(payload_dtype=args.payload_dtype)
+            if args.chunk_slack is not None:
+                raster = raster.replace(chunk_slack=args.chunk_slack)
             cfg = cfg.replace(raster=raster)
         log.log("resume", path=latest, iteration=int(state.opt.t))
     else:

@@ -20,6 +20,7 @@ exec python -m gaussiansplatting_tpu.tools.train \
   --min-pair-capacity $((1<<21)) \
   --scan-steps 10 \
   --payload-dtype bf16 \
+  --chunk-slack 0.5 \
   --checkpoint-dir "$RUN/ckpt" \
   --checkpoint-interval 2000 \
   --metrics "$RUN/metrics.jsonl" \

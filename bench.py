@@ -101,12 +101,16 @@ def main() -> None:
         jax.block_until_ready(st)
         windows.append(steps / (time.perf_counter() - t0))
 
-    # per-single-dispatch rate (the round-2 measurement mode): one window
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        st, metrics1 = train_step(st, camera, gt, cfg, 30_000)
-    jax.block_until_ready(st)
-    per_dispatch_ips = steps / (time.perf_counter() - t0)
+    # per-single-dispatch rate (the round-2 measurement mode): best of 3
+    # windows (the shared chip throttles — CLAUDE.md)
+    pd = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            st, _m1 = train_step(st, camera, gt, cfg, 30_000)
+        jax.block_until_ready(st)
+        pd.append(steps / (time.perf_counter() - t0))
+    per_dispatch_ips = max(pd)
 
     # headline = median (robust to the shared chip's throttling dips);
     # best-of-N reported as detail (closest to the hardware's own rate)

@@ -105,9 +105,31 @@ def aggregate(trace_dir: str, steps: int, top: int = 25) -> list[tuple[str, floa
 
     host_markers = ("$", "block_until_ready", "ThunkExecutor", "trace",
                     "__exit__", "WaitFor")
+    # device pids carry SEVERAL lanes (XLA Modules = one giant span per
+    # step, XLA Ops = the per-fusion compute lane, Steps...).  Summing all
+    # of them double-counts every op inside its module span, so keep ONE
+    # tid: the thread named "XLA Ops" when present, else the tid with the
+    # most events (fusions vastly outnumber module spans).
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", "")
+            )
+    op_lanes = {
+        k for k, nm in tid_names.items()
+        if k[0] in device_pids and "op" in nm.lower()
+    }
+    if not op_lanes:
+        per_tid = collections.Counter()
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in device_pids:
+                per_tid[(e.get("pid"), e.get("tid"))] += 1
+        if per_tid:
+            op_lanes = {per_tid.most_common(1)[0][0]}
     groups = collections.Counter()
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
         name = e.get("name", "?")
         if any(m in name for m in host_markers):

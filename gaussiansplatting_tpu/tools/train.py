@@ -87,6 +87,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def apply_raster_overrides(raster, args, default_pair_capacity=None):
+    """CLI flags win over config/checkpoint values; an OMITTED flag keeps
+    them (the default must not silently shrink a config's capacity).
+    ``default_pair_capacity`` applies only when neither flag nor config
+    source provided one (fresh start without --config)."""
+    if args.pair_capacity is not None:
+        raster = raster.replace(pair_capacity=args.pair_capacity)
+    elif default_pair_capacity is not None:
+        raster = raster.replace(pair_capacity=default_pair_capacity)
+    if args.sh_degree is not None:
+        raster = raster.replace(sh_degree=args.sh_degree)
+    if args.overflow_drop is not None:
+        raster = raster.replace(overflow_drop=args.overflow_drop)
+    if args.payload_dtype is not None:
+        raster = raster.replace(payload_dtype=args.payload_dtype)
+    if args.chunk_slack is not None:
+        raster = raster.replace(chunk_slack=args.chunk_slack)
+    return raster
+
+
 def load_scene(args, cfg):
     """COLMAP -> (cameras, gt_images, initial params, scene_extent)."""
     from gaussiansplatting_tpu.io.dataset import load_colmap_scene
@@ -136,20 +156,12 @@ def main(argv=None) -> int:
             cfg = Config.from_json(f.read())
     else:
         cfg = Config()
-    raster = cfg.raster.replace(
-        pair_capacity=args.pair_capacity
-        if args.pair_capacity is not None
-        else 1 << 21
-    )
-    if args.sh_degree is not None:
-        raster = raster.replace(sh_degree=args.sh_degree)
-    if args.overflow_drop is not None:
-        raster = raster.replace(overflow_drop=args.overflow_drop)
-    if args.payload_dtype is not None:
-        raster = raster.replace(payload_dtype=args.payload_dtype)
-    if args.chunk_slack is not None:
-        raster = raster.replace(chunk_slack=args.chunk_slack)
-    cfg = cfg.replace(raster=raster)
+    # a config JSON's pair_capacity is authoritative when the flag is
+    # omitted; without either, default 1<<21
+    cfg = cfg.replace(raster=apply_raster_overrides(
+        cfg.raster, args,
+        default_pair_capacity=None if args.config else 1 << 21,
+    ))
 
     from gaussiansplatting_tpu.parallel import launch
 
@@ -193,21 +205,9 @@ def main(argv=None) -> int:
         if saved_cfg is not None:
             cfg = saved_cfg
             # CLI overrides win over the checkpoint's saved config (raising
-            # --pair-capacity on resume must actually take effect), but an
-            # OMITTED flag keeps the checkpoint's value — the default must
-            # not silently shrink a larger saved capacity
-            raster = cfg.raster
-            if args.pair_capacity is not None:
-                raster = raster.replace(pair_capacity=args.pair_capacity)
-            if args.sh_degree is not None:
-                raster = raster.replace(sh_degree=args.sh_degree)
-            if args.overflow_drop is not None:
-                raster = raster.replace(overflow_drop=args.overflow_drop)
-            if args.payload_dtype is not None:
-                raster = raster.replace(payload_dtype=args.payload_dtype)
-            if args.chunk_slack is not None:
-                raster = raster.replace(chunk_slack=args.chunk_slack)
-            cfg = cfg.replace(raster=raster)
+            # --pair-capacity on resume must actually take effect); omitted
+            # flags keep the checkpoint's values
+            cfg = cfg.replace(raster=apply_raster_overrides(cfg.raster, args))
         log.log("resume", path=latest, iteration=int(state.opt.t))
     else:
         state = state_mod.create(params, seed=cfg.train.seed)

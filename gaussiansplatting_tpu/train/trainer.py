@@ -406,10 +406,11 @@ def train_loop(
 
     order_rng = _random.Random(shuffle_seed) if shuffle_seed is not None else None
 
-    if batch_views > 1:
+    if batch_views > 1 or scan_steps > 1:
         sizes = {(c.width, c.height) for c in cameras}
         if len(sizes) > 1:
-            raise ValueError(f"batch_views requires one resolution, got {sizes}")
+            which = "batch_views" if batch_views > 1 else "scan_steps"
+            raise ValueError(f"{which} requires one resolution, got {sizes}")
 
     for epoch in range(epochs):
         order = list(range(len(cameras)))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 V5E_HBM_GBPS = 819.0
 V5E_F32_TFLOPS = 49.2
+V5E_BF16_TFLOPS = 196.7
 
 F32 = 4
 
@@ -98,19 +99,25 @@ def step_model(
 
     # MXU flops: blend fwd (power + triangular prefix + color) and bwd
     # (replay + two triangular + e/dcoef/dcol) per block, SSIM band blurs
-    fwd_mm = 2 * p2 * 8 * block + 2 * p2 * block * block + 2 * 4 * p2 * block
-    bwd_mm = (
-        2 * p2 * 8 * block
-        + 2 * 2 * p2 * block * block
-        + 2 * p2 * 4 * block
-        + 2 * 8 * p2 * block
-        + 2 * 4 * p2 * block
+    tri_mm = 3 * 2 * p2 * block * block   # fwd 1 + bwd 2 triangular matmuls
+    other_mm = (
+        2 * 2 * p2 * 8 * block            # power (fwd + bwd replay)
+        + 2 * 4 * p2 * block              # fwd color contraction
+        + 2 * p2 * 4 * block              # bwd e
+        + 2 * 8 * p2 * block              # bwd dcoef
+        + 2 * 4 * p2 * block              # bwd dcol
     )
     ssim = 4 * 2 * 11 * npix * 3 * 2     # 4 blurs x 2 band matmuls x 11-wide
-    flops_total = float(nb * (fwd_mm + bwd_mm) + ssim)
+    flops_total = float(nb * (tri_mm + other_mm) + ssim)
 
+    # packed mode runs the DOMINANT triangular matmuls as bf16 x bf16 -> f32
+    # (ops/pallas_blend._tri_dot), so their floor is the bf16 peak
+    tri_peak = (V5E_BF16_TFLOPS if packed else V5E_F32_TFLOPS) * 1e12
     t_bytes_ms = bytes_total / (V5E_HBM_GBPS * 1e9) * 1e3
-    t_flops_ms = flops_total / (V5E_F32_TFLOPS * 1e12) * 1e3
+    t_flops_ms = (
+        nb * tri_mm / tri_peak
+        + (nb * other_mm + ssim) / (V5E_F32_TFLOPS * 1e12)
+    ) * 1e3
     return {
         "bytes_by_stage": b,
         "bytes_total": bytes_total,

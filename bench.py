@@ -36,6 +36,37 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 10.0
 
 
+def _arm_device_watchdog() -> "object":
+    """The tunneled chip claim can hang indefinitely when the shared pool
+    is unavailable (observed: multi-hour outages).  Rather than hanging the
+    whole bench run silently, emit one diagnostic JSON line and exit after
+    GS_BENCH_DEVICE_TIMEOUT seconds (default 900) unless disarmed."""
+    import threading
+
+    timeout = float(os.environ.get("GS_BENCH_DEVICE_TIMEOUT", "900"))
+    ev = threading.Event()
+
+    def fire():
+        if ev.wait(timeout):
+            return
+        print(json.dumps({
+            "metric": "train_step_iters_per_sec",
+            "value": 0.0,
+            "unit": "iters/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": (
+                    f"TPU device claim did not complete within {timeout}s "
+                    "(axon pool unavailable); no measurement possible"
+                ),
+            },
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return ev
+
+
 def main() -> None:
     small = bool(int(os.environ.get("GS_BENCH_SMALL", "0")))
     n_gauss = 10_000 if small else 100_000
@@ -44,6 +75,11 @@ def main() -> None:
     steps = 5 if small else 8
 
     import jax
+
+    watchdog = _arm_device_watchdog()
+    jax.devices()              # the claim either completes or the watchdog fires
+    watchdog.set()
+
     import jax.numpy as jnp
 
     from gaussiansplatting_tpu.config import Config, LossConfig, RasterConfig

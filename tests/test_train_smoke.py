@@ -371,3 +371,40 @@ def test_scan_steps_loop_matches_single_dispatch(rng):
             np.asarray(getattr(st3.params, f)),
             rtol=1e-3, atol=1e-4, err_msg=f,
         )
+
+
+def test_config4_feature_stack_integration(rng):
+    """The exact feature combination of the reference-scale run
+    (scripts/run_config4.sh) at toy scale: bf16 payload + windowed Pallas
+    blend + scanned dispatch + adaptive pairs + adaptive capacity +
+    impact overflow drop, through densify and opacity-reset events."""
+    from gaussiansplatting_tpu.ops.rasterize import render
+
+    cfg = _cfg().replace(
+        raster=RasterConfig(
+            pair_capacity=1 << 12, pair_block=16, blend_impl="pallas",
+            payload_dtype="bf16", overflow_drop="impact", chunk_slack=0.5,
+        ),
+        density=DensityConfig(
+            densify_from_iter=1, densify_until_iter=40, densify_interval=4,
+            opacity_reset_interval=10, grad_threshold=1e-9,
+        ),
+    )
+    cam = make_camera_for_scene(width=48, height=32)
+    gt_params = _scene_params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    st = train_state.create(
+        _scene_params(np.random.default_rng(3), capacity=64)
+    )
+    logs = []
+    st = trainer.train_loop(
+        st, [cam] * 4, [gt] * 4, cfg, scene_extent=1.0, num_epochs=4,
+        scan_steps=2, adaptive_pairs=True, adapt_interval=2,
+        min_pair_capacity=256, adaptive_capacity=True, max_capacity=256,
+        log_fn=logs.append,
+    )
+    assert int(st.opt.t) == 16
+    assert any("densify" in l for l in logs)
+    assert np.isfinite(np.asarray(st.params.means)).all()
+    assert int(np.asarray(st.params.alive).sum()) > 0

@@ -41,6 +41,7 @@ def step_model(
     tile_size: int = 16,
     block: int = 128,
     packed: bool = False,
+    chunk_slack: float = 1.0,
 ) -> dict:
     """Single-touch bytes + MXU flops for one fwd+bwd+Adam step at the
     given STATIC shapes.  Returns a dict with per-stage bytes, totals, and
@@ -51,7 +52,10 @@ def step_model(
     tiles_y = -(-height // tile_size)
     tiles = tiles_x * tiles_y
     p2 = tile_size * tile_size
-    e_cap = pairs_mod._chunk_capacity(pair_capacity, n) * pairs_mod.PAIR_CHUNK
+    e_cap = (
+        pairs_mod._chunk_capacity(pair_capacity, n, chunk_slack)
+        * pairs_mod.PAIR_CHUNK
+    )
     a_cap = pairs_mod.aligned_capacity(pair_capacity, tiles, block)
     nb = a_cap // block
 

@@ -128,3 +128,22 @@ def test_bf16_payload_gradients_close_to_f32(rng):
         assert np.isfinite(b).all(), f
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 5e-2, f"{f}: rel diff {rel}"
+
+
+def test_sol_model_sanity():
+    """Speed-of-light model invariants: packing reduces bytes, never flops;
+    floors scale with capacity; the bf16 matmul floor undercuts fp32."""
+    from gaussiansplatting_tpu.utils import sol
+
+    f32 = sol.step_model(100_000, 1 << 21, 608, 800, packed=False)
+    b16 = sol.step_model(100_000, 1 << 21, 608, 800, packed=True)
+    assert b16["bytes_total"] < f32["bytes_total"]
+    assert b16["mxu_flops"] == f32["mxu_flops"]
+    assert b16["t_flops_ms"] < f32["t_flops_ms"]
+    big = sol.step_model(1_500_000, 1 << 24, 608, 800, packed=True)
+    assert big["bytes_total"] > 4 * b16["bytes_total"]
+    slim = sol.step_model(1_500_000, 1 << 24, 608, 800, packed=True,
+                          chunk_slack=0.5)
+    assert slim["bytes_total"] < big["bytes_total"]
+    for m in (f32, b16, big, slim):
+        assert m["floor_ms"] == max(m["t_bytes_ms"], m["t_flops_ms"])

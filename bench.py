@@ -36,35 +36,180 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 10.0
 
 
+def _claim_failed_diag(timeout: float, attempts: int = 1) -> str:
+    return json.dumps({
+        "metric": "train_step_iters_per_sec",
+        "value": 0.0,
+        "unit": "iters/s",
+        "vs_baseline": 0.0,
+        "detail": {
+            "error": (
+                f"TPU device claim did not complete within {timeout:.0f}s "
+                f"across {attempts} attempt(s) (axon pool unavailable); "
+                "no measurement possible"
+            ),
+        },
+    })
+
+
 def _arm_device_watchdog() -> "object":
     """The tunneled chip claim can hang indefinitely when the shared pool
     is unavailable (observed: multi-hour outages).  Rather than hanging the
-    whole bench run silently, emit one diagnostic JSON line and exit after
-    GS_BENCH_DEVICE_TIMEOUT seconds (default 900) unless disarmed."""
+    whole bench run silently, exit rc=3 after GS_BENCH_DEVICE_TIMEOUT
+    seconds (default 600) unless disarmed.  Under the retry supervisor
+    (see _supervise) the diagnostic goes to stderr and the supervisor
+    retries; standalone, the diagnostic JSON line goes to stdout."""
+    import sys
     import threading
 
-    timeout = float(os.environ.get("GS_BENCH_DEVICE_TIMEOUT", "900"))
+    timeout = float(os.environ.get("GS_BENCH_DEVICE_TIMEOUT", "600"))
+    child = bool(int(os.environ.get("GS_BENCH_CHILD", "0")))
     ev = threading.Event()
 
     def fire():
         if ev.wait(timeout):
             return
-        print(json.dumps({
-            "metric": "train_step_iters_per_sec",
-            "value": 0.0,
-            "unit": "iters/s",
-            "vs_baseline": 0.0,
-            "detail": {
-                "error": (
-                    f"TPU device claim did not complete within {timeout}s "
-                    "(axon pool unavailable); no measurement possible"
-                ),
-            },
-        }), flush=True)
+        out = sys.stderr if child else sys.stdout
+        print(_claim_failed_diag(timeout), file=out, flush=True)
         os._exit(3)
 
     threading.Thread(target=fire, daemon=True).start()
     return ev
+
+
+def smoke() -> None:
+    """On-chip kernel smoke (~2 min incl. compile, VERDICT r3 item 5): compile
+    and run the REAL windowed Mosaic kernels — block=128, chunked grid, both
+    f32 and bf16 payload — and check the rendered image and parameter
+    gradients against the independent XLA blend path on the same device.
+    CPU tests only ever exercise Pallas in interpret mode at pair_block=16,
+    so this is the only guard against a Mosaic compile/numerics regression
+    short of the full bench.  Prints ONE JSON line; exit 0 iff all checks
+    pass."""
+    # force the chunked-grid code shape at smoke scale (several calls of
+    # <=512 blocks instead of one big grid)
+    os.environ.setdefault("GS_MAX_CALL_BLOCKS", "512")
+
+    import jax
+
+    watchdog = _arm_device_watchdog()
+    jax.devices()
+    watchdog.set()
+
+    import jax.numpy as jnp
+
+    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.ops.losses import photometric_loss
+    from gaussiansplatting_tpu.ops.rasterize import render
+    from gaussiansplatting_tpu.train import optimizer
+    from gaussiansplatting_tpu.utils import synthetic
+
+    n_gauss, width, height = 20_000, 512, 384
+    pair_cap = 1 << 18
+    params = synthetic.make_scene(n=n_gauss, seed=0)
+    camera = synthetic.make_canonical_camera(width=width, height=height)
+    gt = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (height, width, 3)), np.float32
+    )
+
+    def run(blend_impl: str, payload: str):
+        cfg = Config(raster=RasterConfig(
+            pair_capacity=pair_cap, pair_block=128,
+            blend_impl=blend_impl, payload_dtype=payload,
+        ))
+
+        def loss_fn(trainable):
+            p = params.replace(**trainable)
+            img, aux = render(p, camera, cfg.raster)
+            rep = photometric_loss(img, gt, cfg.loss)
+            return rep.grad_loss, (img, aux)
+
+        trainable = {f: getattr(params, f) for f in optimizer.TRAINABLE}
+        (loss, (img, aux)), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(trainable)
+        jax.block_until_ready(grads)
+        return np.asarray(img), {k: np.asarray(v) for k, v in grads.items()}, aux
+
+    t0 = time.perf_counter()
+    img_xla, g_xla, _ = run("xla", "f32")
+    img_p32, g_p32, aux = run("pallas", "f32")
+    img_p16, g_p16, _ = run("pallas", "bf16")
+
+    def gdiff(ga, gb):
+        # worst relative-norm error across parameter groups
+        out = 0.0
+        for k in ga:
+            na = float(np.linalg.norm(ga[k] - gb[k]))
+            nb = float(np.linalg.norm(ga[k])) + 1e-12
+            out = max(out, na / nb)
+        return out
+
+    img_diff_f32 = float(np.abs(img_p32 - img_xla).max())
+    img_diff_bf16 = float(np.abs(img_p16 - img_xla).max())
+    grad_rel_f32 = gdiff(g_xla, g_p32)
+    grad_rel_bf16 = gdiff(g_xla, g_p16)
+    # envelopes: f32 paths are the same math (tolerance = accumulation
+    # order); bf16 payload is the tests/test_packing.py envelope
+    ok = (
+        img_diff_f32 < 1e-3 and grad_rel_f32 < 1e-2
+        and img_diff_bf16 < 0.06 and grad_rel_bf16 < 0.08
+        and np.isfinite(img_p32).all() and np.isfinite(img_p16).all()
+    )
+    print(json.dumps({
+        "metric": "tpu_kernel_smoke_pass",
+        "value": 1.0 if ok else 0.0,
+        "unit": "bool",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "backend": jax.default_backend(),
+            "seconds": round(time.perf_counter() - t0, 1),
+            "n_gaussians": n_gauss,
+            "resolution": [width, height],
+            "num_pairs": int(aux.num_pairs),
+            "pair_block": 128,
+            "max_call_blocks": int(os.environ["GS_MAX_CALL_BLOCKS"]),
+            "img_maxdiff_pallas_f32_vs_xla": round(img_diff_f32, 7),
+            "img_maxdiff_pallas_bf16_vs_xla": round(img_diff_bf16, 5),
+            "grad_relnorm_f32": round(grad_rel_f32, 6),
+            "grad_relnorm_bf16": round(grad_rel_bf16, 5),
+        },
+    }), flush=True)
+    raise SystemExit(0 if ok else 1)
+
+
+def _supervise() -> None:
+    """Retry-until-claimed wrapper (VERDICT r3 weak #6): a transient pool
+    outage must not zero a whole round's evidence.  Re-attempts the bench
+    in a fresh subprocess (a hung jax runtime cannot recover in-process)
+    every GS_BENCH_RETRY_SLEEP s until GS_BENCH_RETRY_BUDGET s elapse;
+    each attempt's own claim window is GS_BENCH_DEVICE_TIMEOUT s."""
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("GS_BENCH_RETRY_BUDGET", "7200"))
+    sleep_s = float(os.environ.get("GS_BENCH_RETRY_SLEEP", "120"))
+    t0 = time.monotonic()
+    env = dict(os.environ, GS_BENCH_CHILD="1")
+    attempts = 0
+    while True:
+        attempts += 1
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env=env
+        )
+        if rc != 3:
+            raise SystemExit(rc)
+        elapsed = time.monotonic() - t0
+        print(
+            f"bench: claim attempt {attempts} timed out "
+            f"({elapsed:.0f}s/{budget:.0f}s of retry budget used)",
+            file=sys.stderr, flush=True,
+        )
+        if elapsed + sleep_s >= budget:
+            print(_claim_failed_diag(elapsed, attempts), flush=True)
+            raise SystemExit(3)
+        time.sleep(sleep_s)
 
 
 def main() -> None:
@@ -236,4 +381,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    _smoke = "--smoke" in sys.argv or bool(
+        int(os.environ.get("GS_BENCH_SMOKE", "0"))
+    )
+    if bool(int(os.environ.get("GS_BENCH_CHILD", "0"))) or bool(
+        int(os.environ.get("GS_BENCH_NO_RETRY", "0"))
+    ):
+        smoke() if _smoke else main()
+    else:
+        _supervise()

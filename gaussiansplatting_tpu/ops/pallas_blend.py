@@ -40,6 +40,7 @@ atomics (SURVEY.md §7.1).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -662,8 +663,10 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
 # are [NB] i32 each and SMEM is 1 MB, so a single call tops out around 128k
 # blocks.  Chunking the grid keeps each call at <=256 KB of SMEM and makes
 # the pipeline scale to the reference's 16M-pair provisioning
-# (tiled_rasterizer.mm:144: maxPairs = maxGaussians * 8).
-_MAX_CALL_BLOCKS = 32768
+# (tiled_rasterizer.mm:144: maxPairs = maxGaussians * 8).  Env-overridable
+# so the on-chip smoke target (bench.py --smoke) exercises the chunked-grid
+# code shape at small scale.
+_MAX_CALL_BLOCKS = int(os.environ.get("GS_MAX_CALL_BLOCKS", "32768"))
 
 
 def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,

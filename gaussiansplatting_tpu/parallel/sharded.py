@@ -40,9 +40,46 @@ def strip_rows(height: int, tile_size: int, num_devices: int) -> int:
     return -(-tiles_y // num_devices)
 
 
-def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
+def chunked_psum(grads: dict, axis_name: str, chunks: int) -> dict:
+    """Complete per-device partial parameter gradients with CHUNKED psums
+    (SURVEY.md §7.5.6: overlap the gradient all-reduce with the tail of the
+    backward).  Each parameter group's [capacity, ...] gradient is split
+    along the Gaussian axis into `chunks` slices and each slice gets its own
+    psum: the XLA latency-hiding scheduler can then launch every slice's
+    all-reduce as soon as its cotangent bytes exist instead of waiting for
+    the full tensor, and the chunks of different groups interleave with the
+    remaining backward compute.  psum is elementwise across the reduced
+    axis, so the result is BIT-IDENTICAL to the single psum
+    (tests/test_sharding.py::test_chunked_psum_step_bit_equal).
+
+    The reference has no analog (single device, single command queue); the
+    ICI overlap itself is only observable on a real pod slice.
+    """
+    if chunks <= 1:
+        return {f: jax.lax.psum(grads[f], axis_name) for f in sorted(grads)}
+    out = {}
+    for f in sorted(grads):
+        g = grads[f]
+        n = g.shape[0]
+        # ceil-sized slices; the last one may be short (static shapes)
+        per = -(-n // chunks)
+        bounds = [(i * per, min((i + 1) * per, n)) for i in range(chunks)]
+        parts = [
+            jax.lax.psum(g[lo:hi], axis_name) for lo, hi in bounds if hi > lo
+        ]
+        out[f] = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return out
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int,
+                            grad_psum_chunks: int = 1):
     """Build a jitted sharded step: (state, camera, gt [H,W,3]) ->
-    (state, StepMetrics).  Static per (H, W) via the camera's static fields."""
+    (state, StepMetrics).  Static per (H, W) via the camera's static fields.
+
+    grad_psum_chunks > 1 splits every parameter group's gradient all-reduce
+    into that many independent psums along the Gaussian axis (see
+    chunked_psum) so the collectives overlap the backward tail on real
+    multi-chip hardware; results are bit-identical either way."""
     num_devices = mesh.devices.size
 
     def step(state: TrainState, camera: Camera, gt_image: jnp.ndarray):
@@ -79,12 +116,11 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
             )(trainable, vs_zero)
 
             # complete the per-device partial parameter gradients over ICI —
-            # one psum PER PARAMETER GROUP (SURVEY.md §7.5.6): issuing the
-            # collectives separately lets the XLA scheduler start each group's
-            # all-reduce as soon as its cotangent is available instead of
-            # waiting for the full backward (the reference has no analog; the
-            # overlap itself needs a real pod slice to observe)
-            grads = {f: jax.lax.psum(grads[f], TILE_AXIS) for f in sorted(grads)}
+            # chunked per parameter group (SURVEY.md §7.5.6): each slice's
+            # all-reduce can start as soon as its cotangent is available
+            # instead of waiting for the full backward (the reference has no
+            # analog; the overlap itself needs a real pod slice to observe)
+            grads = chunked_psum(grads, TILE_AXIS, grad_psum_chunks)
             vs_grad = jax.lax.psum(vs_grad, TILE_AXIS)
             num_pairs = jax.lax.psum(aux.num_pairs, TILE_AXIS)
             overflow = jax.lax.psum(aux.overflow.astype(jnp.int32), TILE_AXIS) > 0
@@ -131,7 +167,8 @@ def make_sharded_train_step(mesh: Mesh, cfg: Config, total_iters: int):
 
 
 def make_sharded_train_step_batched(mesh: Mesh, cfg: Config, total_iters: int,
-                                    batch_views: int):
+                                    batch_views: int,
+                                    grad_psum_chunks: int = 1):
     """Sharded step over K-stacked views: tile strips across devices AND
     mean-loss gradient accumulation over views (train_step_batched composed
     with the strip scheme — the round-2 NotImplementedError).
@@ -188,7 +225,7 @@ def make_sharded_train_step_batched(mesh: Mesh, cfg: Config, total_iters: int,
                 )
             )
 
-            grads = {f: jax.lax.psum(grads[f], TILE_AXIS) for f in sorted(grads)}
+            grads = chunked_psum(grads, TILE_AXIS, grad_psum_chunks)
             vs_grad = jax.lax.psum(vs_grad, TILE_AXIS)
             pos_grad = jax.lax.psum(pos_grad, TILE_AXIS)
             # per-view frame totals first (sum strips), THEN the max over

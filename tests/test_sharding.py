@@ -232,6 +232,54 @@ def test_batched_sharded_step_matches_single_chip_batched(rng):
     )
 
 
+def test_chunked_psum_step_bit_equal(rng):
+    """The overlapped gradient all-reduce (grad_psum_chunks>1, SURVEY.md
+    §7.5.6: chunked per-parameter-group psums that can start before the
+    backward finishes) is BIT-identical to the single-psum step — psum is
+    elementwise, so slicing the Gaussian axis cannot change any value."""
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    start = _params(np.random.default_rng(99))
+    m = mesh_mod.make_mesh()
+
+    st_plain, _ = make_sharded_train_step(m, cfg, 100)(
+        train_state.create(start), cam, gt
+    )
+    st_chunk, m_chunk = make_sharded_train_step(m, cfg, 100, grad_psum_chunks=4)(
+        train_state.create(start), cam, gt
+    )
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_plain.params, f)),
+            np.asarray(getattr(st_chunk.params, f)), err_msg=f,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(st_plain.accum.grad_accum),
+        np.asarray(st_chunk.accum.grad_accum),
+    )
+    assert np.isfinite(float(m_chunk.loss))
+
+    # batched variant takes the same knob
+    cams_k = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), cam, cam)
+    gts_k = jnp.stack([gt, jnp.clip(gt * 0.8 + 0.1, 0.0, 1.0)])
+    from gaussiansplatting_tpu.parallel.sharded import (
+        make_sharded_train_step_batched,
+    )
+
+    stb_plain, _ = make_sharded_train_step_batched(m, cfg, 100, 2)(
+        train_state.create(start), cams_k, gts_k
+    )
+    stb_chunk, _ = make_sharded_train_step_batched(
+        m, cfg, 100, 2, grad_psum_chunks=3
+    )(train_state.create(start), cams_k, gts_k)
+    np.testing.assert_array_equal(
+        np.asarray(stb_plain.params.means), np.asarray(stb_chunk.params.means)
+    )
+
+
 def test_batched_sharded_loop_with_densify(rng):
     """train_loop with batch_views>1 AND mesh_devices>1 runs the densify /
     reset schedule end to end (the previously unsupported composition)."""

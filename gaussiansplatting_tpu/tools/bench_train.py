@@ -26,37 +26,73 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=304)
     p.add_argument("--pair-capacity", type=int, default=1 << 19)
     p.add_argument("--perturb", type=float, default=0.6)
+    # A/B knobs (VERDICT r3 items 8-9): quantify the beyond-reference
+    # differentiated D-SSIM and the impact-ordered overflow drop with
+    # controlled convergence runs on real hardware.
+    p.add_argument("--dssim-in-grad", type=int, default=1, choices=(0, 1),
+                   help="1 = differentiate D-SSIM (framework default); "
+                        "0 = reference-parity L1-only gradient")
+    p.add_argument("--overflow-drop", choices=("index", "impact"),
+                   default="index")
+    p.add_argument("--eval-views", type=int, default=0,
+                   help="hold out this many extra views for PSNR eval "
+                        "(never trained on)")
+    p.add_argument("--eval-pair-capacity", type=int, default=0,
+                   help="pair capacity for eval renders (0 = same as "
+                        "training; set higher for capacity-constrained "
+                        "overflow A/Bs so eval itself never drops pairs)")
     args = p.parse_args(argv)
 
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from gaussiansplatting_tpu.config import Config, RasterConfig
+    from gaussiansplatting_tpu.config import Config, LossConfig, RasterConfig
     from gaussiansplatting_tpu.core import camera as camera_mod
     from gaussiansplatting_tpu.ops.rasterize import render
     from gaussiansplatting_tpu.train import state as state_mod
     from gaussiansplatting_tpu.train.trainer import train_step
     from gaussiansplatting_tpu.utils import synthetic
 
-    cfg = Config(raster=RasterConfig(pair_capacity=args.pair_capacity))
+    cfg = Config(
+        raster=RasterConfig(
+            pair_capacity=args.pair_capacity,
+            overflow_drop=args.overflow_drop,
+        ),
+        loss=LossConfig(dssim_in_grad=bool(args.dssim_in_grad)),
+    )
     gt_params = synthetic.make_scene(n=args.n, seed=0)
 
-    # ring of cameras around the synthetic box (center ~ (0, 0, 4))
+    # ring of cameras around the synthetic box (center ~ (0, 0, 4));
+    # held-out eval cameras sit between the training azimuths
     center = np.array([0.0, 0.0, 4.0], np.float32)
     fy = args.height * 1.1
-    cams = [
-        camera_mod.orbit_camera(
-            center, radius=4.0,
-            azimuth=2 * math.pi * i / args.views - math.pi / 2,
-            elevation=0.25 * math.sin(2.0 * i),
+
+    def ring_cam(az, elev):
+        return camera_mod.orbit_camera(
+            center, radius=4.0, azimuth=az, elevation=elev,
             fx=fy, fy=fy, width=args.width, height=args.height,
             up=(0.0, -1.0, 0.0),
         )
+
+    cams = [
+        ring_cam(2 * math.pi * i / args.views - math.pi / 2,
+                 0.25 * math.sin(2.0 * i))
         for i in range(args.views)
     ]
+    eval_cams = [
+        ring_cam(2 * math.pi * (i + 0.5) / args.views - math.pi / 2,
+                 0.25 * math.sin(2.0 * i + 1.0))
+        for i in range(args.eval_views)
+    ]
     render_fn = jax.jit(render, static_argnums=2)
+    eval_raster = (
+        cfg.raster.replace(pair_capacity=args.eval_pair_capacity)
+        if args.eval_pair_capacity else cfg.raster
+    )
+    eval_render = jax.jit(render, static_argnums=2)
     gts = [render_fn(gt_params, c, cfg.raster)[0] for c in cams]
+    eval_gts = [eval_render(gt_params, c, eval_raster)[0] for c in eval_cams]
 
     # perturbed start: same geometry, damaged appearance + jittered positions
     rng = np.random.default_rng(7)
@@ -70,26 +106,33 @@ def main(argv=None) -> int:
     )
     st = state_mod.create(start)
 
-    def mean_psnr(state):
+    def mean_psnr(state, cam_list, gt_list, raster):
         vals = []
-        for c, g in zip(cams, gts):
-            img, _ = render_fn(state.params, c, cfg.raster)
+        for c, g in zip(cam_list, gt_list):
+            img, _ = eval_render(state.params, c, raster)
             mse = jnp.mean((img - g) ** 2)
             vals.append(float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))))
-        return sum(vals) / len(vals)
+        return sum(vals) / max(len(vals), 1)
 
-    psnr0 = mean_psnr(st)
+    psnr0 = mean_psnr(st, cams, gts, cfg.raster)
     # warmup / compile one step
     st, _ = train_step(st, cams[0], gts[0], cfg, args.iters)
     jax.block_until_ready(st)
 
     t0 = time.perf_counter()
+    overflow_steps = 0
     for it in range(1, args.iters):
         v = it % args.views
         st, metrics = train_step(st, cams[v], gts[v], cfg, args.iters)
+        if it % 50 == 0 and bool(metrics.overflow):
+            overflow_steps += 1
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
-    psnr1 = mean_psnr(st)
+    psnr1 = mean_psnr(st, cams, gts, cfg.raster)
+    psnr_holdout = (
+        mean_psnr(st, eval_cams, eval_gts, eval_raster)
+        if eval_cams else None
+    )
 
     print(
         json.dumps(
@@ -100,11 +143,20 @@ def main(argv=None) -> int:
                 "detail": {
                     "psnr_start": round(psnr0, 2),
                     "psnr_end": round(psnr1, 2),
+                    "psnr_holdout": (
+                        round(psnr_holdout, 2)
+                        if psnr_holdout is not None else None
+                    ),
                     "iters": args.iters,
                     "views": args.views,
+                    "eval_views": args.eval_views,
                     "n_gaussians": args.n,
                     "resolution": [args.width, args.height],
                     "iters_per_sec": round((args.iters - 1) / dt, 2),
+                    "dssim_in_grad": bool(args.dssim_in_grad),
+                    "overflow_drop": args.overflow_drop,
+                    "pair_capacity": args.pair_capacity,
+                    "overflow_sampled_steps": overflow_steps,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -47,8 +47,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# blocks blended per Pallas program (sublane-aligned for fp32 tiles)
-GROUP = 8
+# blocks blended per Pallas program (sublane-aligned for fp32 tiles).
+# Env-overridable for on-chip A/B: with the batched triangular matmuls the
+# group size sets the M dimension of the flop-dominant MXU ops
+# ([GROUP*256, B]); 16 halves program count at ~2x the VMEM scratch.
+GROUP = int(os.environ.get("GS_BLEND_GROUP", "8"))
 
 
 def _tri_lower(b: int) -> jnp.ndarray:
@@ -514,11 +517,13 @@ def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
 
 
 def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
-                    out_ref, gid_ref, scratch, sems, *, cfg_consts):
+                    out_ref, gid_ref, scratch, sems, l_sc, a_sc, *,
+                    cfg_consts):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
     g = pl.program_id(0)
     b = gid_ref.shape[-1]
+    p2 = feats_ref.shape[0]
     nlive = meta_ref[g * GROUP] >> 20
     for i in range(1, GROUP):
         nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
@@ -532,6 +537,12 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             offs.append((cp, off))
         feats = feats_ref[:]
         tril = _tri_lower(b)
+        # Phase 1: per-block replay up to log(1-alpha), stacking the GROUP's
+        # l matrices on the sublane axis so the flop-dominant triangular
+        # prefix runs as ONE [GROUP*P2, B] @ [B, B] MXU op instead of GROUP
+        # separate issues (the prefix is per-row, so row-stacking blocks is
+        # exact; measured-issue-overhead motivation in docs/DESIGN.md).
+        colors = []
         for i in range(GROUP):
             cp, off = offs[i]
             cp.wait()
@@ -546,9 +557,18 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             _, _, a, l, _ = _replay(
                 coef, op, feats, power_floor, alpha_cap, alpha_floor
             )
-            cum_incl = _tri_dot(l, tril, packed)
-            t = jnp.exp(cum_incl - l)
-            wgt = a * t
+            l_sc[i * p2:(i + 1) * p2] = l
+            a_sc[i * p2:(i + 1) * p2] = a
+            colors.append((cr, cg, cbl))
+            gid_ref[i] = gid[0]
+        cum_all = _tri_dot(l_sc[:], tril, packed)      # one batched prefix
+        # Phase 2: per-block blend from the shared prefix
+        for i in range(GROUP):
+            sl = slice(i * p2, (i + 1) * p2)
+            l = l_sc[sl]
+            t = jnp.exp(cum_all[sl] - l)
+            wgt = a_sc[sl] * t
+            cr, cg, cbl = colors[i]
             z = jnp.zeros_like(cr)
             color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
             cbt = jax.lax.dot_general(
@@ -558,7 +578,6 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             s_b = jnp.sum(l, axis=-1)
             row = jax.lax.broadcasted_iota(jnp.int32, cbt.shape, 0)
             out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
-            gid_ref[i] = gid[0]
 
     @pl.when(nlive == 0)
     def _():
@@ -570,9 +589,10 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     g_ref, *refs, cfg_consts):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
-    *out_refs, scratch, sems = refs
+    *out_refs, scratch, sems, l_sc, a_sc, araw_sc, et_sc, w_sc, ew_sc = refs
     g = pl.program_id(0)
     b = out_refs[0].shape[-1]
+    p2 = feats_ref.shape[0]
     nlive = meta_ref[g * GROUP] >> 20
     for i in range(1, GROUP):
         nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
@@ -587,6 +607,13 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         feats = feats_ref[:]
         tril = _tri_lower(b)
         triu = _tri_upper_strict(b)
+        # Phase 1: per-block replay to log(1-alpha); the two flop-dominant
+        # triangular matmuls then each run ONCE over the sublane-stacked
+        # [GROUP*P2, B] group (prefix/suffix are per-row operations, so
+        # stacking blocks on rows is exact) instead of GROUP separate MXU
+        # issues each.  `mask` is not stored: a > 0 iff the replay mask held
+        # (masked alpha has a strict 1/255 floor).
+        cols = []
         for i in range(GROUP):
             cp, off = offs[i]
             cp.wait()
@@ -598,28 +625,45 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 w, valid, tcx, tcy, packed
             )
             coef = _coef8(mx, my, ca, cb, cc)
-            power, a_raw, a, l, mask = _replay(
+            _, a_raw, a, l, _ = _replay(
                 coef, op, feats, power_floor, alpha_cap, alpha_floor
             )
-            cum_incl = _tri_dot(l, tril, packed)
-            t = jnp.exp(cum_incl - l)
-            wgt = a * t
-
+            sl = slice(i * p2, (i + 1) * p2)
+            l_sc[sl] = l
+            a_sc[sl] = a
+            araw_sc[sl] = a_raw
+            cols.append((mx, my, ca, cb, cc, op, cr, cg, cbl))
+        cum_all = _tri_dot(l_sc[:], tril, packed)
+        # Phase 2: transmittance + cotangent-weighted terms per block
+        gss = []
+        for i in range(GROUP):
+            sl = slice(i * p2, (i + 1) * p2)
+            t = jnp.exp(cum_all[sl] - l_sc[sl])
+            wgt = a_sc[sl] * t
             gg = g_ref[i]                      # [4, P2]; rows 0-2 = dC, 3 = dS
             row = jax.lax.broadcasted_iota(jnp.int32, gg.shape, 0)
             g_c = jnp.where(row == 3, 0.0, gg)
-            g_s = gg[3, :]
-
+            gss.append((g_c, gg[3, :]))
+            _, _, _, _, _, _, cr, cg, cbl = cols[i]
             z = jnp.zeros_like(cr)
             color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
             e = jax.lax.dot_general(
                 g_c, color4, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ew = e * wgt
-            dl = _tri_dot(ew, triu, packed) + g_s[:, None]
-            da = e * t - dl / (1.0 - a)
-            dpow = jnp.where(mask, da * a_raw, 0.0)
+            et_sc[sl] = e * t
+            w_sc[sl] = wgt
+            ew_sc[sl] = e * wgt
+        dl_all = _tri_dot(ew_sc[:], triu, packed)
+        # Phase 3: per-block chain rule to the nine column cotangents
+        for i in range(GROUP):
+            sl = slice(i * p2, (i + 1) * p2)
+            mx, my, ca, cb, cc, op, cr, cg, cbl = cols[i]
+            g_c, g_s = gss[i]
+            a = a_sc[sl]
+            dl = dl_all[sl] + g_s[:, None]
+            da = et_sc[sl] - dl / (1.0 - a)
+            dpow = jnp.where(a > 0.0, da * araw_sc[sl], 0.0)
 
             dcoef = jax.lax.dot_general(
                 feats, dpow, (((0,), (0,)), ((), ())),
@@ -632,7 +676,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                 opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0
             )
             dcol = jax.lax.dot_general(
-                g_c, wgt, (((1,), (0,)), ((), ())),
+                g_c, w_sc[sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             cots = (dmx[0], dmy[0], dca[0], dcb[0], dcc[0],
@@ -646,9 +690,9 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
 
                 z = jnp.zeros_like(dop)
                 for j, ref in enumerate(out_refs):
-                    a = cots[2 * j]
+                    aa = cots[2 * j]
                     bb = cots[2 * j + 1] if 2 * j + 1 < 9 else z
-                    ref[i] = pack2(a, bb)
+                    ref[i] = pack2(aa, bb)
             else:
                 for j, ref in enumerate(out_refs):
                     ref[i] = cots[j]
@@ -670,14 +714,18 @@ _MAX_CALL_BLOCKS = int(os.environ.get("GS_MAX_CALL_BLOCKS", "32768"))
 
 
 def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
-              out_shapes, cfg_consts):
+              out_shapes, cfg_consts, group_scratch=0):
     """pallas_call builder for the windowed kernels.
 
     table [R, EP] (R = 8 packed / 16 unpacked) rides in ANY memory space
     (manual per-block DMA); the per-block source starts and the packed
     (valid << 20 | tile) metadata are scalar-prefetched (SMEM is 1 MB — at
     8M-pair capacity separate valid/tcx/tcy arrays overflow it, and past
-    ~12M even src+meta do, so the grid is chunked at _MAX_CALL_BLOCKS)."""
+    ~12M even src+meta do, so the grid is chunked at _MAX_CALL_BLOCKS).
+
+    group_scratch: number of [GROUP*P2, block] f32 VMEM scratch buffers the
+    kernel uses to stack per-block intermediates for the batched triangular
+    matmuls (2 fwd, 6 bwd — ~1 MB each at block 128)."""
     nb = src.shape[0]
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
@@ -722,6 +770,9 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             scratch_shapes=[
                 pltpu.VMEM((GROUP, rows, 2 * block), jnp.float32),
                 pltpu.SemaphoreType.DMA((GROUP,)),
+            ] + [
+                pltpu.VMEM((GROUP * p2, block), jnp.float32)
+                for _ in range(group_scratch)
             ],
         )
         return pl.pallas_call(
@@ -764,7 +815,7 @@ def windowed_blend_fwd(table, src, valid, tile, row0, block, cfg_consts):
     p2 = int(cfg_consts[0]) ** 2
     return _call_win(
         _fwd_kernel_win, table, src, valid, tile, row0, block, [],
-        [(nb, 4, p2), (nb, block)], cfg_consts,
+        [(nb, 4, p2), (nb, block)], cfg_consts, group_scratch=2,
     )
 
 
@@ -777,5 +828,5 @@ def windowed_blend_bwd(table, src, valid, tile, row0, block, g, cfg_consts):
     n_out = 5 if packed else 9
     return _call_win(
         _bwd_kernel_win, table, src, valid, tile, row0, block, [g],
-        [(nb, block)] * n_out, cfg_consts,
+        [(nb, block)] * n_out, cfg_consts, group_scratch=6,
     )

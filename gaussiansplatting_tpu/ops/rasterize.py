@@ -150,6 +150,27 @@ def _block_blend(
     return c_b, s_b
 
 
+@jax.custom_vjp
+def _permute_rows(x, order, inv_order):
+    """x[order] with a gather-transpose: the cotangent of a PERMUTATION
+    gather is a gather by the inverse permutation, not the general scatter
+    XLA would emit (scatter costs ~2x the gather at the same index count —
+    docs/DESIGN.md cost model; at 1.5M Gaussians the presort permutation is
+    an N-row move each way, so this halves its backward cost)."""
+    return x[order]
+
+
+def _permute_rows_fwd(x, order, inv_order):
+    return x[order], inv_order
+
+
+def _permute_rows_bwd(inv_order, g):
+    return g[inv_order], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def _blend_windows(data, depth, row0, total, counts, ccounts, coffsets,
                    ty_lo, tmin_x, span_x, cfgt):
@@ -297,20 +318,30 @@ def render(
         )
         row0_i = jnp.asarray(row0, jnp.int32)
         order = jnp.argsort(proj.depth)
+        inv_order = (
+            jnp.zeros_like(order)
+            .at[order]
+            .set(jnp.arange(n, dtype=order.dtype))
+        )
         # ONE fused [N, 15] row-gather applies the permutation (gather cost
         # is per-INDEX, row width free — docs/DESIGN.md cost model; a
-        # field-by-field tree_map risks ~12 separate N-index gathers).
+        # field-by-field tree_map risks ~12 separate N-index gathers), with
+        # a gather-transpose VJP (see _permute_rows).
         # Integer fields are exact in f32 (all < 2^24).
-        cols = jnp.concatenate(
-            [
-                proj.depth[:, None],
-                proj.tile_min.astype(jnp.float32),
-                proj.tile_max.astype(jnp.float32),
-                proj.n_tiles.astype(jnp.float32)[:, None],
-                data,
-            ],
-            axis=-1,
-        )[order]
+        cols = _permute_rows(
+            jnp.concatenate(
+                [
+                    proj.depth[:, None],
+                    proj.tile_min.astype(jnp.float32),
+                    proj.tile_max.astype(jnp.float32),
+                    proj.n_tiles.astype(jnp.float32)[:, None],
+                    data,
+                ],
+                axis=-1,
+            ),
+            order,
+            inv_order,
+        )
         data = cols[:, 6:]          # VJP: an N-sized scatter, ~free
         proj_p = proj_mod.Projected(
             screen_pos=data[:, :2],

@@ -22,6 +22,33 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (heavy end-to-end/integration)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy end-to-end/integration test — skipped by default, run "
+        "with --runslow (full suite) or -m slow (slow tests only)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # Fast default suite (~8 min); `--runslow` restores the full ~40 min
+    # suite.  An explicit -m expression also disables the skip so
+    # `-m slow` works as expected.
+    if config.getoption("--runslow") or config.getoption("markexpr"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture
 def rng():
     # Function-scoped: every test sees the same deterministic stream, so

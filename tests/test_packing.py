@@ -9,6 +9,7 @@ bf16 (the reference blends in HALF precision, tiled_shaders.metal:326-328);
 screen positions and the f32 reduction prefix-sums stay exact."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -106,6 +107,7 @@ def test_bf16_payload_render_close_to_f32(rng):
     assert diff.mean() < 5e-3, diff.mean()
 
 
+@pytest.mark.slow
 def test_bf16_payload_gradients_close_to_f32(rng):
     """Parameter gradients under the packed path stay within a few percent
     of the f32 path (quantized render data AND bf16-packed cotangent sort)."""

@@ -193,6 +193,7 @@ def test_impact_overflow_drop_keeps_highest_impact(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_impact_drop_renders_and_differentiates(rng):
     """The impact drop composes with the full windowed render + VJP."""
     from gaussiansplatting_tpu.ops.rasterize import render

@@ -6,6 +6,7 @@ parameter groups, and the hand-derived backward against jax.grad of the XLA
 blend (SURVEY.md §7.1: custom VJP with transmittance replay)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -161,6 +162,7 @@ def test_windowed_strip_render_matches_xla(rng):
         assert int(aux_x.num_pairs) == int(aux_p.num_pairs)
 
 
+@pytest.mark.slow
 def test_windowed_chunked_grid_matches_single_call(rng, monkeypatch):
     """Past _MAX_CALL_BLOCKS the windowed blend splits into several
     pallas_calls over block slices (the SMEM scalar-prefetch ceiling at

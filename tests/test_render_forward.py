@@ -2,6 +2,7 @@
 BASELINE config #1 analog on synthetic scenes)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +84,7 @@ def test_forward_image_matches_oracle(small_scene):
     assert err.mean() < 2e-4
 
 
+@pytest.mark.slow
 def test_forward_tfloor_exact_tightens_parity(rng):
     """With t_floor_exact the renderer reproduces the oracle's per-pixel
     early termination (tiled_shaders.metal:334) and parity tightens from
@@ -116,6 +118,7 @@ def test_forward_tfloor_exact_tightens_parity(rng):
     assert np.abs(np.asarray(img_off) - np.asarray(img)).max() > 1e-5
 
 
+@pytest.mark.slow
 def test_tfloor_gradients_match_between_impls(rng):
     """The hand-derived Pallas t-floor backward agrees with autodiff through
     the XLA t-floor path (both treat the termination mask as constant)."""

@@ -36,6 +36,7 @@ def _params(rng, n=48):
     return G.from_arrays(means, log_scales, quats, raw_op, sh)
 
 
+@pytest.mark.slow
 def test_strip_render_matches_full(rng):
     """Rendering tile-row strips and stacking them reproduces the full image
     (single device, exercising the tile_rows path)."""
@@ -102,6 +103,7 @@ def test_sharded_step_matches_single_chip(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_multi_step_training(rng):
     """A few sharded steps reduce the loss."""
     cfg = _cfg()
@@ -119,6 +121,7 @@ def test_sharded_multi_step_training(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_sharded_loop_with_densify(rng):
     """train_loop with mesh_devices>1 runs the densify/reset schedule on the
     sharded step (the multi-chip CLI path, tools/train.py --devices N)."""
@@ -152,6 +155,7 @@ def test_sharded_loop_with_densify(rng):
     assert np.isfinite(np.asarray(st.params.means)).all()
 
 
+@pytest.mark.slow
 def test_sharded_step_with_pallas_blend(rng):
     """The Pallas custom-VJP blend traces through shard_map (interpret mode
     here; the same program path runs compiled on a real multi-chip TPU)."""
@@ -183,6 +187,7 @@ def test_sharded_step_with_pallas_blend(rng):
     )
 
 
+@pytest.mark.slow
 def test_batched_sharded_step_matches_single_chip_batched(rng):
     """batch_views composed with mesh_devices (the round-2
     NotImplementedError): one sharded K=2 accumulation step equals the
@@ -262,7 +267,18 @@ def test_chunked_psum_step_bit_equal(rng):
     )
     assert np.isfinite(float(m_chunk.loss))
 
-    # batched variant takes the same knob
+
+@pytest.mark.slow
+def test_chunked_psum_batched_step_bit_equal(rng):
+    """The batched (K-view) sharded step takes the same grad_psum_chunks
+    knob with the same bit-equality guarantee."""
+    cfg = _cfg()
+    cam = make_camera_for_scene(width=64, height=64)
+    gt_params = _params(rng)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+    start = _params(np.random.default_rng(99))
+    m = mesh_mod.make_mesh()
+
     cams_k = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), cam, cam)
     gts_k = jnp.stack([gt, jnp.clip(gt * 0.8 + 0.1, 0.0, 1.0)])
     from gaussiansplatting_tpu.parallel.sharded import (
@@ -280,6 +296,7 @@ def test_chunked_psum_step_bit_equal(rng):
     )
 
 
+@pytest.mark.slow
 def test_batched_sharded_loop_with_densify(rng):
     """train_loop with batch_views>1 AND mesh_devices>1 runs the densify /
     reset schedule end to end (the previously unsupported composition)."""

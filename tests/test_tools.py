@@ -197,6 +197,7 @@ def tiny_scene_dir(tmp_path, rng):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tiny_scene_dir, tmp_path):
     from gaussiansplatting_tpu.tools import train as train_cli
     from gaussiansplatting_tpu.io import ply as ply_mod
@@ -294,6 +295,7 @@ def test_evaluate_cli(tiny_scene_dir, tmp_path):
     assert all(v["psnr"] > 30 for v in views)
 
 
+@pytest.mark.slow
 def test_bench_train_cli_smoke():
     """The convergence benchmark runs end to end at toy scale."""
     import contextlib
@@ -364,6 +366,7 @@ def test_view_server_serves_frames(tmp_path, rng):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_view_server_interactive_training(tiny_scene_dir):
     """Viewer with a COLMAP dataset attached: /train runs real train steps
     (the reference's train-while-displaying loop, mtl_engine.mm:98-155),
@@ -408,6 +411,7 @@ def test_view_server_interactive_training(tiny_scene_dir):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_train_cli_round3_flags(tiny_scene_dir, tmp_path):
     """--payload-dtype bf16 / --overflow-drop impact / --scan-steps all
     plumb through the CLI into a working run."""

@@ -3,6 +3,7 @@ render a fixed synthetic 'ground truth' scene, start from perturbed parameters,
 and verify the loss decreases and PSNR improves over a handful of steps."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -63,6 +64,7 @@ def test_training_reduces_loss(rng):
     assert not bool(metrics.overflow)
 
 
+@pytest.mark.slow
 def test_train_loop_with_densify_and_reset(rng):
     """Exercise the full schedule machinery on a tiny run (intervals shrunk)."""
     cfg = _cfg().replace(
@@ -106,6 +108,7 @@ def test_schedule_predicates():
     assert not trainer.should_reset_opacity(3001, cfg)
 
 
+@pytest.mark.slow
 def test_batched_step_matches_mean_gradient(rng):
     """train_step_batched over K views == one Adam step on the mean of the
     per-view gradients (gradient accumulation semantics)."""
@@ -215,6 +218,7 @@ def test_batched_pos_grad_accum_matches_sequential(rng):
     )
 
 
+@pytest.mark.slow
 def test_train_loop_batched_crosses_densify(rng, tmp_path):
     """train_loop with batch_views>1 must survive densify events, opacity
     resets, and snapshots (round-1 bug: the stacked camera pytree reached
@@ -263,6 +267,7 @@ def test_train_loop_batched_crosses_densify(rng, tmp_path):
     assert alive[:n].all() and not alive[n:].any()
 
 
+@pytest.mark.slow
 def test_adaptive_pair_capacity_grows_out_of_overflow(rng):
     """Starting below the live pair count, the loop doubles capacity until
     pairs fit (power-of-two buckets, bounded by the configured maximum)."""
@@ -293,6 +298,7 @@ def test_adaptive_pair_capacity_grows_out_of_overflow(rng):
     assert "pairs=9" in last_pairs or "pairs=8" in last_pairs
 
 
+@pytest.mark.slow
 def test_train_loop_adaptive_capacity_grows(rng):
     """Adaptive capacity: when a densify event fills 85% of the arrays, the
     state grows to the next bucket (the TPU answer to the reference's
@@ -326,6 +332,7 @@ def test_train_loop_adaptive_capacity_grows(rng):
     assert alive[:n].all() and not alive[n:].any()
 
 
+@pytest.mark.slow
 def test_scan_steps_loop_matches_single_dispatch(rng):
     """train_loop(scan_steps=3) — chunked lax.scan dispatch with densify /
     reset events interleaved on the reference cadence — produces the same
@@ -373,6 +380,7 @@ def test_scan_steps_loop_matches_single_dispatch(rng):
         )
 
 
+@pytest.mark.slow
 def test_config4_feature_stack_integration(rng):
     """The exact feature combination of the reference-scale run
     (scripts/run_config4.sh) at toy scale: bf16 payload + windowed Pallas

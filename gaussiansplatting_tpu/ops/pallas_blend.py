@@ -516,6 +516,25 @@ def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
     ), start - a0
 
 
+def _group_replay(cols, feats, consts):
+    """Batched replay for a whole GROUP: evaluate every block's powers with
+    ONE [P2, 8] @ [8, GROUP*B] MXU op (lane-concatenated coefficient
+    matrices) and every elementwise stage on ONE [P2, GROUP*B] tensor —
+    GROUP x fewer MXU issues and VPU dispatches than per-block evaluation,
+    identical values.  Returns (a_raw, a, l) as [P2, GROUP*B]."""
+    power_floor, alpha_cap, alpha_floor = consts
+    coef_cat = jnp.concatenate(
+        [_coef8(mx, my, ca, cb, cc) for (mx, my, ca, cb, cc, *_r) in cols],
+        axis=1,
+    )                                      # [8, GROUP*B]
+    op_cat = jnp.concatenate([c[5] for c in cols], axis=1)   # [1, GROUP*B]
+    power = jnp.dot(feats, coef_cat, preferred_element_type=jnp.float32)
+    a_raw = op_cat * jnp.exp(power)
+    mask = (power <= 0.0) & (power >= power_floor) & (a_raw >= alpha_floor)
+    a = jnp.where(mask, jnp.minimum(a_raw, alpha_cap), 0.0)
+    return a_raw, a, jnp.log1p(-a)
+
+
 def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     out_ref, gid_ref, scratch, sems, l_sc, a_sc, *,
                     cfg_consts):
@@ -537,12 +556,11 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             offs.append((cp, off))
         feats = feats_ref[:]
         tril = _tri_lower(b)
-        # Phase 1: per-block replay up to log(1-alpha), stacking the GROUP's
-        # l matrices on the sublane axis so the flop-dominant triangular
-        # prefix runs as ONE [GROUP*P2, B] @ [B, B] MXU op instead of GROUP
-        # separate issues (the prefix is per-row, so row-stacking blocks is
-        # exact; measured-issue-overhead motivation in docs/DESIGN.md).
-        colors = []
+        # Phase 1: unpack every block's columns, then one batched replay
+        # (see _group_replay) and ONE [GROUP*P2, B] @ [B, B] triangular
+        # prefix instead of GROUP separate MXU issues (prefix is per-row,
+        # so row-stacking blocks is exact; docs/DESIGN.md §Batched-group).
+        cols = []
         for i in range(GROUP):
             cp, off = offs[i]
             cp.wait()
@@ -550,25 +568,24 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             valid, tcx, tcy = _unpack_meta(
                 meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
             )
-            gid, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid, tcx, tcy, packed
-            )
-            coef = _coef8(mx, my, ca, cb, cc)
-            _, _, a, l, _ = _replay(
-                coef, op, feats, power_floor, alpha_cap, alpha_floor
-            )
-            l_sc[i * p2:(i + 1) * p2] = l
-            a_sc[i * p2:(i + 1) * p2] = a
-            colors.append((cr, cg, cbl))
+            gid, *c9 = _win_cols(w, valid, tcx, tcy, packed)
+            cols.append(tuple(c9))
             gid_ref[i] = gid[0]
-        cum_all = _tri_dot(l_sc[:], tril, packed)      # one batched prefix
+        _, a_all, l_all = _group_replay(
+            cols, feats, (power_floor, alpha_cap, alpha_floor)
+        )
+        for i in range(GROUP):                      # lane-major -> row-major
+            lane = slice(i * b, (i + 1) * b)
+            l_sc[i * p2:(i + 1) * p2] = l_all[:, lane]
+            a_sc[i * p2:(i + 1) * p2] = a_all[:, lane]
+        cum_all = _tri_dot(l_sc[:], tril, packed)   # one batched prefix
         # Phase 2: per-block blend from the shared prefix
         for i in range(GROUP):
             sl = slice(i * p2, (i + 1) * p2)
             l = l_sc[sl]
             t = jnp.exp(cum_all[sl] - l)
             wgt = a_sc[sl] * t
-            cr, cg, cbl = colors[i]
+            _, _, _, _, _, _, cr, cg, cbl = cols[i]
             z = jnp.zeros_like(cr)
             color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
             cbt = jax.lax.dot_general(
@@ -607,12 +624,12 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         feats = feats_ref[:]
         tril = _tri_lower(b)
         triu = _tri_upper_strict(b)
-        # Phase 1: per-block replay to log(1-alpha); the two flop-dominant
-        # triangular matmuls then each run ONCE over the sublane-stacked
-        # [GROUP*P2, B] group (prefix/suffix are per-row operations, so
-        # stacking blocks on rows is exact) instead of GROUP separate MXU
-        # issues each.  `mask` is not stored: a > 0 iff the replay mask held
-        # (masked alpha has a strict 1/255 floor).
+        # Phase 1: batched replay (see _group_replay) to log(1-alpha); the
+        # two flop-dominant triangular matmuls then each run ONCE over the
+        # sublane-stacked [GROUP*P2, B] group (prefix/suffix are per-row
+        # operations, so stacking blocks on rows is exact) instead of GROUP
+        # separate MXU issues each.  `mask` is not stored: a > 0 iff the
+        # replay mask held (masked alpha has a strict 1/255 floor).
         cols = []
         for i in range(GROUP):
             cp, off = offs[i]
@@ -621,18 +638,17 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             valid, tcx, tcy = _unpack_meta(
                 meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
             )
-            _, mx, my, ca, cb, cc, op, cr, cg, cbl = _win_cols(
-                w, valid, tcx, tcy, packed
-            )
-            coef = _coef8(mx, my, ca, cb, cc)
-            _, a_raw, a, l, _ = _replay(
-                coef, op, feats, power_floor, alpha_cap, alpha_floor
-            )
+            _, *c9 = _win_cols(w, valid, tcx, tcy, packed)
+            cols.append(tuple(c9))
+        araw_all, a_all, l_all = _group_replay(
+            cols, feats, (power_floor, alpha_cap, alpha_floor)
+        )
+        for i in range(GROUP):                      # lane-major -> row-major
+            lane = slice(i * b, (i + 1) * b)
             sl = slice(i * p2, (i + 1) * p2)
-            l_sc[sl] = l
-            a_sc[sl] = a
-            araw_sc[sl] = a_raw
-            cols.append((mx, my, ca, cb, cc, op, cr, cg, cbl))
+            l_sc[sl] = l_all[:, lane]
+            a_sc[sl] = a_all[:, lane]
+            araw_sc[sl] = araw_all[:, lane]
         cum_all = _tri_dot(l_sc[:], tril, packed)
         # Phase 2: transmittance + cotangent-weighted terms per block
         gss = []

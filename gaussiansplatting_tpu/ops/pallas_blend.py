@@ -47,11 +47,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# blocks blended per Pallas program (sublane-aligned for fp32 tiles).
-# Env-overridable for on-chip A/B: with the batched triangular matmuls the
-# group size sets the M dimension of the flop-dominant MXU ops
-# ([GROUP*256, B]); 16 halves program count at ~2x the VMEM scratch.
-GROUP = int(os.environ.get("GS_BLEND_GROUP", "8"))
+def _group() -> int:
+    """Blocks blended per Pallas program (sublane-aligned for fp32 tiles).
+
+    Read from GS_BLEND_GROUP at CALL time, not import time (ADVICE r4: an
+    import-time read silently ignores env changes made after the package is
+    first imported).  With the batched triangular matmuls the group size
+    sets the M dimension of the flop-dominant MXU ops ([GROUP*256, B]).
+    GS_BLEND_GROUP=1 is the per-block fallback path (no batching across
+    blocks) — keep it selectable until the batched kernels are validated on
+    real hardware.  GROUP=16 doubles the backward's VMEM scratch past the
+    16 MB/core budget; _call_win guards this with an explicit error."""
+    return int(os.environ.get("GS_BLEND_GROUP", "8"))
 
 
 def _tri_lower(b: int) -> jnp.ndarray:
@@ -142,10 +149,10 @@ def _fwd_body(refs, feats, i, cfg_consts):
     return w, l, color4
 
 
-def _fwd_kernel(*args, cfg_consts):
+def _fwd_kernel(*args, cfg_consts, group):
     *refs, feats_ref, out_ref = args
     feats = feats_ref[:]                  # [P2, 8]
-    for i in range(GROUP):
+    for i in range(group):
         w, l, color4 = _fwd_body(refs, feats, i, cfg_consts)
         # c_b^T [4, P2]: contract over B; color row 3 is zero padding
         cbt = jax.lax.dot_general(
@@ -169,14 +176,14 @@ def _chain_to_cols(dcoef, mx, my, ca, cb, cc):
     return dmx, dmy, dca, dcb, dcc
 
 
-def _bwd_kernel(*args, cfg_consts):
+def _bwd_kernel(*args, cfg_consts, group):
     *refs, feats_ref, g_ref = args[: 9 + 2]
     outs = args[9 + 2:]
     (dmux_ref, dmuy_ref, dca_ref, dcb_ref, dcc_ref,
      dop_ref, dcr_ref, dcg_ref, dcb2_ref) = outs
     _, power_floor, alpha_cap, alpha_floor = cfg_consts
     feats = feats_ref[:]
-    for i in range(GROUP):
+    for i in range(group):
         mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
         coef = _coef8(mx, my, ca, cb, cc)
         power, a_raw, a, l, mask = _replay(
@@ -230,7 +237,7 @@ def _bwd_kernel(*args, cfg_consts):
         dcb2_ref[i] = dcol[2]
 
 
-def _fwd_kernel_tf(*args, cfg_consts):
+def _fwd_kernel_tf(*args, cfg_consts, group):
     """T-floor forward: pairs whose incoming global transmittance is below
     the floor contribute nothing and stop updating T, matching the
     reference's per-pixel loop exit (tiled_shaders.metal:334).  The mask is
@@ -238,7 +245,7 @@ def _fwd_kernel_tf(*args, cfg_consts):
     *refs, feats_ref, logti_ref, out_ref = args
     _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
     feats = feats_ref[:]
-    for i in range(GROUP):
+    for i in range(group):
         mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
         coef = _coef8(mx, my, ca, cb, cc)
         _, _, a, l, _ = _replay(
@@ -262,7 +269,7 @@ def _fwd_kernel_tf(*args, cfg_consts):
         out_ref[i] = jnp.where(row == 3, s_b[None, :], cbt)
 
 
-def _bwd_kernel_tf(*args, cfg_consts):
+def _bwd_kernel_tf(*args, cfg_consts, group):
     """T-floor replay backward: the termination mask is treated as a
     constant (the reference accumulates no gradients past lastContribIdx,
     tiled_shaders.metal:449-460)."""
@@ -272,7 +279,7 @@ def _bwd_kernel_tf(*args, cfg_consts):
      dop_ref, dcr_ref, dcg_ref, dcb2_ref) = outs
     _, power_floor, alpha_cap, alpha_floor, log_thr = cfg_consts
     feats = feats_ref[:]
-    for i in range(GROUP):
+    for i in range(group):
         mx, my, ca, cb, cc, op, cr, cg, cbl = _read_cols(refs, i)
         coef = _coef8(mx, my, ca, cb, cc)
         power, a_raw, a, l, mask = _replay(
@@ -356,17 +363,18 @@ def _interpret() -> bool:
 def _call(kernel, cols, extra_in, out_shapes, cfg_consts):
     """cols: nine [NB, B] arrays; extra_in: list of [NB, ...] arrays."""
     nb, b = cols[0].shape
+    group = _group()
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
-    nb_pad = -(-nb // GROUP) * GROUP
+    nb_pad = -(-nb // group) * group
     cols = [_pad_groups(x, nb_pad) for x in cols]
     extra_in = [_pad_groups(x, nb_pad) for x in extra_in]
 
-    grid = (nb_pad // GROUP,)
+    grid = (nb_pad // group,)
 
     def blk(shape):
         return pl.BlockSpec(
-            (GROUP,) + shape,
+            (group,) + shape,
             lambda g: (g,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
@@ -376,7 +384,7 @@ def _call(kernel, cols, extra_in, out_shapes, cfg_consts):
     ] + [blk(x.shape[1:]) for x in extra_in]
     out_specs = tuple(blk(s[1:]) for s in out_shapes)
     outs = pl.pallas_call(
-        functools.partial(kernel, cfg_consts=cfg_consts),
+        functools.partial(kernel, cfg_consts=cfg_consts, group=group),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if len(out_shapes) > 1 else out_specs[0],
@@ -508,8 +516,8 @@ def _win_cols(w, valid, tcx, tcy, packed=False):
     return gid, mx, my, ca, cb, cc, op, cr, cg, cbl
 
 
-def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b):
-    start = src_ref[g * GROUP + i]
+def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b, group):
+    start = src_ref[g * group + i]
     a0 = (start // b) * b
     return pltpu.make_async_copy(
         tbl_ref.at[:, pl.ds(a0, 2 * b)], scratch.at[i], sems.at[i]
@@ -537,21 +545,23 @@ def _group_replay(cols, feats, consts):
 
 def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     out_ref, gid_ref, scratch, sems, l_sc, a_sc, *,
-                    cfg_consts):
+                    cfg_consts, group):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
     g = pl.program_id(0)
     b = gid_ref.shape[-1]
     p2 = feats_ref.shape[0]
-    nlive = meta_ref[g * GROUP] >> 20
-    for i in range(1, GROUP):
-        nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
+    nlive = meta_ref[g * group] >> 20
+    for i in range(1, group):
+        nlive = nlive + (meta_ref[g * group + i] >> 20)
 
     @pl.when(nlive > 0)
     def _():
         offs = []
-        for i in range(GROUP):
-            cp, off = _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b)
+        for i in range(group):
+            cp, off = _win_start_copy(
+                src_ref, tbl_ref, scratch, sems, g, i, b, group
+            )
             cp.start()
             offs.append((cp, off))
         feats = feats_ref[:]
@@ -561,12 +571,12 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         # prefix instead of GROUP separate MXU issues (prefix is per-row,
         # so row-stacking blocks is exact; docs/DESIGN.md §Batched-group).
         cols = []
-        for i in range(GROUP):
+        for i in range(group):
             cp, off = offs[i]
             cp.wait()
             w = pltpu.roll(scratch[i], -off, 1)[:, :b]
             valid, tcx, tcy = _unpack_meta(
-                meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
+                meta_ref[g * group + i], row0_ref[0], ts_, tiles_x
             )
             gid, *c9 = _win_cols(w, valid, tcx, tcy, packed)
             cols.append(tuple(c9))
@@ -574,13 +584,13 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         _, a_all, l_all = _group_replay(
             cols, feats, (power_floor, alpha_cap, alpha_floor)
         )
-        for i in range(GROUP):                      # lane-major -> row-major
+        for i in range(group):                      # lane-major -> row-major
             lane = slice(i * b, (i + 1) * b)
             l_sc[i * p2:(i + 1) * p2] = l_all[:, lane]
             a_sc[i * p2:(i + 1) * p2] = a_all[:, lane]
         cum_all = _tri_dot(l_sc[:], tril, packed)   # one batched prefix
         # Phase 2: per-block blend from the shared prefix
-        for i in range(GROUP):
+        for i in range(group):
             sl = slice(i * p2, (i + 1) * p2)
             l = l_sc[sl]
             t = jnp.exp(cum_all[sl] - l)
@@ -603,22 +613,24 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
 
 
 def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
-                    g_ref, *refs, cfg_consts):
+                    g_ref, *refs, cfg_consts, group):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
     *out_refs, scratch, sems, l_sc, a_sc, araw_sc, et_sc, w_sc, ew_sc = refs
     g = pl.program_id(0)
     b = out_refs[0].shape[-1]
     p2 = feats_ref.shape[0]
-    nlive = meta_ref[g * GROUP] >> 20
-    for i in range(1, GROUP):
-        nlive = nlive + (meta_ref[g * GROUP + i] >> 20)
+    nlive = meta_ref[g * group] >> 20
+    for i in range(1, group):
+        nlive = nlive + (meta_ref[g * group + i] >> 20)
 
     @pl.when(nlive > 0)
     def _():
         offs = []
-        for i in range(GROUP):
-            cp, off = _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b)
+        for i in range(group):
+            cp, off = _win_start_copy(
+                src_ref, tbl_ref, scratch, sems, g, i, b, group
+            )
             cp.start()
             offs.append((cp, off))
         feats = feats_ref[:]
@@ -631,19 +643,19 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         # separate MXU issues each.  `mask` is not stored: a > 0 iff the
         # replay mask held (masked alpha has a strict 1/255 floor).
         cols = []
-        for i in range(GROUP):
+        for i in range(group):
             cp, off = offs[i]
             cp.wait()
             w = pltpu.roll(scratch[i], -off, 1)[:, :b]
             valid, tcx, tcy = _unpack_meta(
-                meta_ref[g * GROUP + i], row0_ref[0], ts_, tiles_x
+                meta_ref[g * group + i], row0_ref[0], ts_, tiles_x
             )
             _, *c9 = _win_cols(w, valid, tcx, tcy, packed)
             cols.append(tuple(c9))
         araw_all, a_all, l_all = _group_replay(
             cols, feats, (power_floor, alpha_cap, alpha_floor)
         )
-        for i in range(GROUP):                      # lane-major -> row-major
+        for i in range(group):                      # lane-major -> row-major
             lane = slice(i * b, (i + 1) * b)
             sl = slice(i * p2, (i + 1) * p2)
             l_sc[sl] = l_all[:, lane]
@@ -652,7 +664,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
         cum_all = _tri_dot(l_sc[:], tril, packed)
         # Phase 2: transmittance + cotangent-weighted terms per block
         gss = []
-        for i in range(GROUP):
+        for i in range(group):
             sl = slice(i * p2, (i + 1) * p2)
             t = jnp.exp(cum_all[sl] - l_sc[sl])
             wgt = a_sc[sl] * t
@@ -672,7 +684,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             ew_sc[sl] = e * wgt
         dl_all = _tri_dot(ew_sc[:], triu, packed)
         # Phase 3: per-block chain rule to the nine column cotangents
-        for i in range(GROUP):
+        for i in range(group):
             sl = slice(i * p2, (i + 1) * p2)
             mx, my, ca, cb, cc, op, cr, cg, cbl = cols[i]
             g_c, g_s = gss[i]
@@ -719,14 +731,16 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
 
-# Max blocks per windowed pallas_call: src + meta scalar-prefetch operands
-# are [NB] i32 each and SMEM is 1 MB, so a single call tops out around 128k
-# blocks.  Chunking the grid keeps each call at <=256 KB of SMEM and makes
-# the pipeline scale to the reference's 16M-pair provisioning
-# (tiled_rasterizer.mm:144: maxPairs = maxGaussians * 8).  Env-overridable
-# so the on-chip smoke target (bench.py --smoke) exercises the chunked-grid
-# code shape at small scale.
-_MAX_CALL_BLOCKS = int(os.environ.get("GS_MAX_CALL_BLOCKS", "32768"))
+def _max_call_blocks() -> int:
+    """Max blocks per windowed pallas_call: src + meta scalar-prefetch
+    operands are [NB] i32 each and SMEM is 1 MB, so a single call tops out
+    around 128k blocks.  Chunking the grid keeps each call at <=256 KB of
+    SMEM and makes the pipeline scale to the reference's 16M-pair
+    provisioning (tiled_rasterizer.mm:144: maxPairs = maxGaussians * 8).
+    Read from GS_MAX_CALL_BLOCKS at CALL time so bench.py --smoke's
+    chunked-grid override works regardless of package import order
+    (ADVICE r4)."""
+    return int(os.environ.get("GS_MAX_CALL_BLOCKS", "32768"))
 
 
 def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
@@ -743,10 +757,11 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
     kernel uses to stack per-block intermediates for the batched triangular
     matmuls (2 fwd, 6 bwd — ~1 MB each at block 128)."""
     nb = src.shape[0]
+    group = _group()
     feats = _pixel_feats8(int(cfg_consts[0]))
     p2 = feats.shape[0]
     rows = table.shape[0]
-    nb_pad = -(-nb // GROUP) * GROUP
+    nb_pad = -(-nb // group) * group
     if not _interpret():
         # _win_start_copy aligns DMA window starts to `block`; Mosaic
         # requires 128-lane alignment for dynamic lane offsets, so the
@@ -755,6 +770,25 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
         assert block % 128 == 0, (
             f"windowed TPU blend needs pair_block % 128 == 0, got {block}"
         )
+        # VMEM ceiling guard (ADVICE r4): the batched-group kernels hold
+        # group_scratch [group*P2, block] f32 stacks, the [group, rows,
+        # 2*block] DMA window scratch, and ~4 [P2, group*block] batched-
+        # replay temporaries live at once.  At group=8/block=128 the
+        # backward sits at ~11 MB of the 16 MB/core budget; group=16
+        # (~22 MB) cannot compile.  Fail with an actionable message
+        # instead of a Mosaic OOM.
+        f32 = 4
+        vmem_est = (
+            group_scratch * group * p2 * block * f32    # stacked scratch
+            + group * rows * 2 * block * f32            # DMA windows
+            + 4 * p2 * group * block * f32              # replay temporaries
+        )
+        if vmem_est > 14 * 2**20:
+            raise ValueError(
+                f"GS_BLEND_GROUP={group} needs ~{vmem_est / 2**20:.1f} MB "
+                f"of VMEM scratch at block={block} (budget ~16 MB/core). "
+                "Lower GS_BLEND_GROUP (8 fits; 1 = per-block fallback)."
+            )
 
     def padnb(x, fill=0):
         return jnp.pad(x, (0, nb_pad - nb), constant_values=fill)
@@ -766,7 +800,7 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
 
     def blk(shape):
         return pl.BlockSpec(
-            (GROUP,) + shape,
+            (group,) + shape,
             lambda g, *_: (g,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
@@ -774,7 +808,7 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
     def one_call(src_c, meta_c, extra_c, nb_c):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nb_c // GROUP,),
+            grid=(nb_c // group,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
@@ -784,15 +818,15 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             out_specs=tuple(blk(s[1:]) for s in out_shapes)
             if len(out_shapes) > 1 else blk(out_shapes[0][1:]),
             scratch_shapes=[
-                pltpu.VMEM((GROUP, rows, 2 * block), jnp.float32),
-                pltpu.SemaphoreType.DMA((GROUP,)),
+                pltpu.VMEM((group, rows, 2 * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((group,)),
             ] + [
-                pltpu.VMEM((GROUP * p2, block), jnp.float32)
+                pltpu.VMEM((group * p2, block), jnp.float32)
                 for _ in range(group_scratch)
             ],
         )
         return pl.pallas_call(
-            functools.partial(kernel, cfg_consts=cfg_consts),
+            functools.partial(kernel, cfg_consts=cfg_consts, group=group),
             grid_spec=grid_spec,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((nb_c,) + s[1:], jnp.float32)
@@ -803,7 +837,8 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             interpret=_interpret(),
         )(src_c, meta_c, row0, table, feats, *extra_c)
 
-    if nb_pad <= _MAX_CALL_BLOCKS:
+    max_call_blocks = -(-_max_call_blocks() // group) * group
+    if nb_pad <= max_call_blocks:
         outs = one_call(src, meta, extra_in, nb_pad)
         if len(out_shapes) == 1:
             return (outs[:nb],)
@@ -812,8 +847,8 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
     # chunked grid: table (absolute src offsets) is shared; src/meta/extras
     # and the per-block outputs slice along the block axis
     chunks = []
-    for lo in range(0, nb_pad, _MAX_CALL_BLOCKS):
-        hi = min(lo + _MAX_CALL_BLOCKS, nb_pad)
+    for lo in range(0, nb_pad, max_call_blocks):
+        hi = min(lo + max_call_blocks, nb_pad)
         outs_c = one_call(
             src[lo:hi], meta[lo:hi], [x[lo:hi] for x in extra_in], hi - lo
         )

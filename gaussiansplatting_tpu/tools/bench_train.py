@@ -85,13 +85,17 @@ def main(argv=None) -> int:
                  0.25 * math.sin(2.0 * i + 1.0))
         for i in range(args.eval_views)
     ]
-    render_fn = jax.jit(render, static_argnums=2)
     eval_raster = (
         cfg.raster.replace(pair_capacity=args.eval_pair_capacity)
         if args.eval_pair_capacity else cfg.raster
     )
     eval_render = jax.jit(render, static_argnums=2)
-    gts = [render_fn(gt_params, c, cfg.raster)[0] for c in cams]
+    # ALL ground truths (training and held-out) render with the
+    # full-capacity eval_raster: in a capacity-constrained overflow A/B the
+    # arms must train toward one identical uncorrupted target, with the cap
+    # (and the drop policy under test) applied only to the training renders
+    # inside train_step (ADVICE r4).
+    gts = [eval_render(gt_params, c, eval_raster)[0] for c in cams]
     eval_gts = [eval_render(gt_params, c, eval_raster)[0] for c in eval_cams]
 
     # perturbed start: same geometry, damaged appearance + jittered positions
@@ -114,21 +118,24 @@ def main(argv=None) -> int:
             vals.append(float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))))
         return sum(vals) / max(len(vals), 1)
 
-    psnr0 = mean_psnr(st, cams, gts, cfg.raster)
+    psnr0 = mean_psnr(st, cams, gts, eval_raster)
     # warmup / compile one step
     st, _ = train_step(st, cams[0], gts[0], cfg, args.iters)
     jax.block_until_ready(st)
 
     t0 = time.perf_counter()
-    overflow_steps = 0
+    # overflow flags stay on device inside the timed loop — a bool() pull
+    # is a ~100 ms host sync over the tunnel and drains the async pipeline
+    # (ADVICE r4); summed after block_until_ready instead.
+    overflow_flags = []
     for it in range(1, args.iters):
         v = it % args.views
         st, metrics = train_step(st, cams[v], gts[v], cfg, args.iters)
-        if it % 50 == 0 and bool(metrics.overflow):
-            overflow_steps += 1
+        overflow_flags.append(metrics.overflow)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
-    psnr1 = mean_psnr(st, cams, gts, cfg.raster)
+    overflow_steps = int(np.sum([np.asarray(f) for f in overflow_flags]))
+    psnr1 = mean_psnr(st, cams, gts, eval_raster)
     psnr_holdout = (
         mean_psnr(st, eval_cams, eval_gts, eval_raster)
         if eval_cams else None
@@ -156,7 +163,7 @@ def main(argv=None) -> int:
                     "dssim_in_grad": bool(args.dssim_in_grad),
                     "overflow_drop": args.overflow_drop,
                     "pair_capacity": args.pair_capacity,
-                    "overflow_sampled_steps": overflow_steps,
+                    "overflow_steps": overflow_steps,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -166,7 +166,12 @@ def main(argv=None) -> int:
     from gaussiansplatting_tpu.parallel import launch
 
     topo = launch.initialize(coordinator=args.coordinator)
-    log = MetricsLogger(path=args.metrics, echo=launch.is_primary())
+    # Multi-host discipline: every process executes the same SPMD compute
+    # (jit/shard_map must run on all hosts), but only process 0 touches the
+    # filesystem — metrics, checkpoints, snapshots, and exports land on a
+    # shared FS exactly once instead of once per host.
+    primary = launch.is_primary()
+    log = MetricsLogger(path=args.metrics if primary else None, echo=primary)
     log.log("start", colmap=args.colmap, devices=args.devices, **topo)
 
     if args.metrics:
@@ -256,13 +261,16 @@ def main(argv=None) -> int:
             _flush_metrics()
 
     def checkpoint_fn(iteration, st):
-        if latest:
+        if latest and primary:
             ckpt_mod.save(latest, st, cfg)
             log.log("checkpoint", iter=iteration, path=latest)
 
     def snapshot_fn(iteration, st, cam, gt):
-        os.makedirs(args.snapshot_dir, exist_ok=True)
+        # render on every process (SPMD), write on the primary only
         img, _ = jax.jit(raster_render, static_argnums=2)(st.params, cam, cfg.raster)
+        if not primary:
+            return
+        os.makedirs(args.snapshot_dir, exist_ok=True)
         images_mod.save_png(
             os.path.join(args.snapshot_dir, f"render_{iteration:06d}.png"),
             np.asarray(img),
@@ -313,21 +321,27 @@ def main(argv=None) -> int:
             psnr_min=round(min(psnrs), 3),
         )
 
-    # export PLY (reference: PLYExporter::exportPLY, main.mm:408-418)
-    count = int(np.asarray(state.params.alive).sum())
-    cloud = ply_mod.cloud_from_params(state.params)
-    n_written = ply_mod.export_gaussian_ply(args.output, cloud)
-    log.log("export_ply", path=args.output, n=n_written, alive=count)
+    # export PLY (reference: PLYExporter::exportPLY, main.mm:408-418);
+    # write-once on the primary host
+    if primary:
+        count = int(np.asarray(state.params.alive).sum())
+        cloud = ply_mod.cloud_from_params(state.params)
+        n_written = ply_mod.export_gaussian_ply(args.output, cloud)
+        log.log("export_ply", path=args.output, n=n_written, alive=count)
 
-    # export per-view renders (reference: exportTrainingViews)
+    # export per-view renders (reference: exportTrainingViews); renders run
+    # on every process (SPMD), files land on the primary
     if args.export_renders:
-        os.makedirs(args.export_renders, exist_ok=True)
+        if primary:
+            os.makedirs(args.export_renders, exist_ok=True)
         render_fn = jax.jit(raster_render, static_argnums=2)
         for i, cam in enumerate(cameras):
             img, _ = render_fn(state.params, cam, cfg.raster)
-            images_mod.save_png(
-                os.path.join(args.export_renders, f"view_{i:04d}.png"), np.asarray(img)
-            )
+            if primary:
+                images_mod.save_png(
+                    os.path.join(args.export_renders, f"view_{i:04d}.png"),
+                    np.asarray(img),
+                )
         log.log("export_renders", dir=args.export_renders, views=len(cameras))
     return 0
 

@@ -743,6 +743,12 @@ def _max_call_blocks() -> int:
     return int(os.environ.get("GS_MAX_CALL_BLOCKS", "32768"))
 
 
+# trace-time observability: how many pallas_call chunks the last traced
+# windowed call issued (tests assert the chunked-grid code shape is really
+# exercised; VERDICT r4 item 7)
+LAST_WIN_CALLS = 0
+
+
 def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
               out_shapes, cfg_consts, group_scratch=0):
     """pallas_call builder for the windowed kernels.
@@ -837,7 +843,9 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
             interpret=_interpret(),
         )(src_c, meta_c, row0, table, feats, *extra_c)
 
+    global LAST_WIN_CALLS
     max_call_blocks = -(-_max_call_blocks() // group) * group
+    LAST_WIN_CALLS = -(-nb_pad // max_call_blocks)
     if nb_pad <= max_call_blocks:
         outs = one_call(src, meta, extra_in, nb_pad)
         if len(out_shapes) == 1:

@@ -327,3 +327,65 @@ def test_batched_sharded_loop_with_densify(rng):
     assert int(st.opt.t) == 8
     assert int(np.asarray(st.params.alive).sum()) > 24
     assert np.isfinite(np.asarray(st.params.means)).all()
+
+
+@pytest.mark.slow
+def test_sharded_windowed_pallas_step_at_scale(rng):
+    """Sharding x windowed-Pallas composition one notch up (VERDICT r4
+    item 8): 512 Gaussians, 256x256 image, 8 tile strips, blend_impl=
+    "pallas" so every strip runs the REAL windowed kernels (interpret mode
+    on CPU) inside shard_map.  The sharded step must reproduce the
+    single-device step, and the sharded render the full-frame render —
+    previously this composition only existed on unavailable hardware."""
+    cfg = Config(raster=RasterConfig(
+        pair_capacity=1 << 14, pair_block=16, blend_impl="pallas",
+    ))
+    cam = make_camera_for_scene(width=256, height=256)  # 16 tile rows
+    gt_params = _params(rng, n=512)
+    gt, _ = jax.jit(render, static_argnums=2)(gt_params, cam, cfg.raster)
+
+    m = mesh_mod.make_mesh()
+    assert m.devices.size == 8
+
+    # render equivalence
+    srender = make_sharded_render(m, cfg)
+    out = srender(gt_params, cam)
+    # strips chunk tile runs at different block boundaries than the full
+    # frame, reassociating the (C,T) composition: fp32 noise, not error
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(gt), atol=1e-4
+    )
+
+    # one-step training equivalence (params after Adam, loss, pair count)
+    start = _params(np.random.default_rng(99), n=512)
+    st_single, m_single = trainer.train_step(
+        train_state.create(start), cam, gt, cfg, 100
+    )
+    st_shard, m_shard = make_sharded_train_step(m, cfg, 100)(
+        train_state.create(start), cam, gt
+    )
+    np.testing.assert_allclose(
+        float(m_shard.loss), float(m_single.loss), rtol=1e-5
+    )
+    assert int(m_shard.num_pairs) == int(m_single.num_pairs)
+    assert int(m_single.num_pairs) > 0
+    # densification accumulator (pre-Adam gradient signal): tight
+    np.testing.assert_allclose(
+        np.asarray(st_shard.accum.grad_accum),
+        np.asarray(st_single.accum.grad_accum), atol=1e-4,
+    )
+    # post-Adam params: strips chunk tile runs at different block
+    # boundaries, so fp32-noise gradient differences exist, and FIRST-step
+    # Adam normalizes ANY nonzero gradient to a full +/-lr move
+    # (update ~ lr*sign(g) at t=1) — a noise-level sign flip costs 2*lr.
+    # The meaningful equivalences are the tight loss/pairs/image/accum
+    # checks above; for params the honest bound is the update envelope.
+    tcfg = cfg.optim
+    lr = {"means": tcfg.position_lr_init, "log_scales": tcfg.scale_lr,
+          "quats": tcfg.rotation_lr, "raw_opacities": tcfg.opacity_lr,
+          "sh": tcfg.sh_lr}
+    for f, lr_f in lr.items():
+        a = np.asarray(getattr(st_shard.params, f))
+        b = np.asarray(getattr(st_single.params, f))
+        d = np.abs(a - b)
+        assert d.max() <= 3.0 * lr_f, f"{f}: {d.max()} > 3 lr"

@@ -165,10 +165,11 @@ def smoke() -> None:
         np.random.default_rng(1).uniform(0, 1, (height, width, 3)), np.float32
     )
 
-    def run(blend_impl: str, payload: str):
+    def run(blend_impl: str, payload: str, pack_pos: bool = False):
         cfg = Config(raster=RasterConfig(
             pair_capacity=pair_cap, pair_block=128,
             blend_impl=blend_impl, payload_dtype=payload,
+            pack_positions=pack_pos,
         ))
 
         def loss_fn(trainable):
@@ -188,6 +189,9 @@ def smoke() -> None:
     img_xla, g_xla, _ = run("xla", "f32")
     img_p32, g_p32, aux = run("pallas", "f32")
     img_p16, g_p16, _ = run("pallas", "bf16")
+    # tile-relative bf16 position packing (pack_positions, roadmap #5):
+    # one fewer fat-sort operand; same bf16 envelope
+    img_pp, g_pp, _ = run("pallas", "bf16", pack_pos=True)
 
     def gdiff(ga, gb):
         # worst relative-norm error across parameter groups
@@ -200,14 +204,20 @@ def smoke() -> None:
 
     img_diff_f32 = float(np.abs(img_p32 - img_xla).max())
     img_diff_bf16 = float(np.abs(img_p16 - img_xla).max())
+    img_diff_pp = float(np.abs(img_pp - img_xla).max())
     grad_rel_f32 = gdiff(g_xla, g_p32)
     grad_rel_bf16 = gdiff(g_xla, g_p16)
+    grad_rel_pp = gdiff(g_xla, g_pp)
     # envelopes: f32 paths are the same math (tolerance = accumulation
-    # order); bf16 payload is the tests/test_packing.py envelope
+    # order); bf16 payload is the tests/test_packing.py envelope;
+    # pack_positions adds radius-bounded position quantization (~0.035
+    # worst-case power error) on top of it
     ok = (
         img_diff_f32 < 1e-3 and grad_rel_f32 < 1e-2
         and img_diff_bf16 < 0.06 and grad_rel_bf16 < 0.08
+        and img_diff_pp < 0.08 and grad_rel_pp < 0.10
         and np.isfinite(img_p32).all() and np.isfinite(img_p16).all()
+        and np.isfinite(img_pp).all()
     )
     print(json.dumps({
         "metric": "tpu_kernel_smoke_pass",
@@ -225,8 +235,10 @@ def smoke() -> None:
             "max_call_blocks": int(os.environ["GS_MAX_CALL_BLOCKS"]),
             "img_maxdiff_pallas_f32_vs_xla": round(img_diff_f32, 7),
             "img_maxdiff_pallas_bf16_vs_xla": round(img_diff_bf16, 5),
+            "img_maxdiff_pack_positions_vs_xla": round(img_diff_pp, 5),
             "grad_relnorm_f32": round(grad_rel_f32, 6),
             "grad_relnorm_bf16": round(grad_rel_bf16, 5),
+            "grad_relnorm_pack_positions": round(grad_rel_pp, 5),
         },
     }), flush=True)
     raise SystemExit(0 if ok else 1)
@@ -297,9 +309,13 @@ def main() -> None:
     # numerical envelope (VERDICT r2 item 1a).  GS_BENCH_PAYLOAD=f32
     # measures the full-precision mode.
     payload = os.environ.get("GS_BENCH_PAYLOAD", "bf16")
+    # tile-relative bf16 position packing (pack_positions, roadmap #5):
+    # GS_BENCH_PACK_POS=1 measures the 7-operand fat sort
+    pack_pos = bool(int(os.environ.get("GS_BENCH_PACK_POS", "0")))
     cfg = Config(
         raster=RasterConfig(
-            pair_capacity=pair_cap, pair_block=128, payload_dtype=payload
+            pair_capacity=pair_cap, pair_block=128, payload_dtype=payload,
+            pack_positions=pack_pos,
         ),
         loss=LossConfig(dssim_in_grad=dssim_in_grad),
     )
@@ -408,6 +424,7 @@ def main() -> None:
                     "windows": [round(w, 3) for w in windows],
                     "num_pairs": int(metrics.num_pairs),
                     "payload_dtype": payload,
+                    "pack_positions": pack_pos,
                     "dssim_in_grad": dssim_in_grad,
                     "loss_semantics": (
                         "reference parity: L1-only backward "

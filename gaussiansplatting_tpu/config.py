@@ -71,6 +71,15 @@ class RasterConfig(_Replaceable):
     # reference blends in HALF precision (tiled_shaders.metal:326-328), so
     # bf16 render data is inside its numerical envelope.
     payload_dtype: str = "f32"
+    # With payload_dtype="bf16", additionally pack TILE-RELATIVE screen
+    # positions as one bf16 pair computed at expansion time (docs/DESIGN.md
+    # roadmap #5): mx = sx - tile_center is bounded by the splat radius, so
+    # bf16's 2^-8 relative error stays sub-pixel and the worst-case power
+    # error (~r^2/sigma^2 * 2^-8 ~ 0.035) is inside the bf16 blend
+    # envelope.  Drops the fat (tile, depth) sort by one payload operand
+    # (~1 ms at 2M pairs, ~6 ms at 16M) and removes the in-kernel tile-
+    # center subtraction.  No effect unless payload_dtype="bf16".
+    pack_positions: bool = False
     # Which Gaussians lose their pairs when the frame exceeds pair_capacity:
     # "index" reproduces the reference's write-cursor bounds check
     # (tiled_shaders.metal:779-780) as a deterministic emission-order prefix;

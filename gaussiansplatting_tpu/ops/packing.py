@@ -11,10 +11,13 @@ Precision stance: bf16 keeps f32's exponent range (nothing flushes) at 8
 mantissa bits (~0.4% relative).  The reference itself accumulates color and
 transmittance in HALF precision inside the forward blend
 (tiled_shaders.metal:326-328), so sub-f32 render-data precision is within
-the reference's own numerical envelope.  Screen positions are NEVER packed
-(0.4% of an 800 px coordinate is 3 px — they stay f32); conic / opacity /
-color and all backward cotangents are.  Packing uses round-to-nearest-even,
-not truncation, so the quantization is unbiased.
+the reference's own numerical envelope.  ABSOLUTE screen positions are
+never packed (0.4% of an 800 px coordinate is 3 px); conic / opacity /
+color and all backward cotangents are, and with
+RasterConfig.pack_positions the TILE-RELATIVE positions are too (bounded
+by the splat radius, so 2^-8 relative stays sub-pixel — packed at
+expansion time in ops/pairs._expand_and_sort1).  Packing uses
+round-to-nearest-even, not truncation, so the quantization is unbiased.
 
 Everything here is plain bit arithmetic (bitcast + shift + mask) that lowers
 identically in XLA and inside Pallas kernels.

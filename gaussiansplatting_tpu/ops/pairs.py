@@ -310,13 +310,32 @@ def _expand_and_sort1(data, depth, row0, counts, ccounts, coffsets, ty_lo,
     #      alternative of thin sorts + one aligned-order row-gather, which
     #      pays ~14 ns/row for the gather plus a row-table relayout ----
     presorted = len(cfg) > 7 and cfg[7]
+    pack_pos = len(cfg) > 9 and cfg[9]
     if presorted:
         # Gaussians arrive depth-sorted and expansion emits pairs in
         # Gaussian order, so the stable tile sort preserves depth order —
         # the depth key is redundant (saves one f32 sort operand)
-        ops = (tile_id, gid_v) + tuple(
-            bcast(crows[:, 6 + j]) for j in range(d)
-        )
+        if pack_pos:
+            # tile-RELATIVE bf16 positions as ONE packed operand (config
+            # pack_positions; docs/DESIGN.md roadmap #5): the pair's tile
+            # is known here, mx/my are radius-bounded, and the blend kernel
+            # consumes tile-local coordinates anyway — one fewer fat-sort
+            # payload operand, no in-kernel center subtraction.  Centers
+            # match pallas_blend._unpack_meta: (tx*ts + ts/2) in absolute
+            # tile coordinates (ty is absolute; the kernel adds row0 back).
+            from gaussiansplatting_tpu.ops import packing
+
+            ts_f = float(cfg[10])
+            half = ts_f / 2.0
+            mx = bcast(crows[:, 6]) - (tx.astype(jnp.float32) * ts_f + half)
+            my = bcast(crows[:, 7]) - (ty.astype(jnp.float32) * ts_f + half)
+            ops = (tile_id, gid_v, packing.pack2(mx, my)) + tuple(
+                bcast(crows[:, 8 + j]) for j in range(d - 2)
+            )
+        else:
+            ops = (tile_id, gid_v) + tuple(
+                bcast(crows[:, 6 + j]) for j in range(d)
+            )
         s = jax.lax.sort(ops, num_keys=1)
         return s[0], s[1], s[2:], e_cap
     ops = (tile_id, depth_s, gid_v) + tuple(

@@ -488,26 +488,39 @@ def _unpack_meta(meta, row0, ts, tiles_x):
     return valid, tcx, tcy
 
 
-def _win_cols(w, valid, tcx, tcy, packed=False):
+def _win_cols(w, valid, tcx, tcy, packed=False, pack_pos=False):
     """Extract the kernel columns from a rolled [16, B] window.
 
     Unpacked rows: 0=gid, 1=sx, 2=sy, 3..5=conic, 6=opacity, 7..9=rgb.
     Packed rows (ops/packing.py): 0=gid, 1=sx, 2=sy, 3=(ca,cb), 4=(cc,op),
-    5=(r,g), 6=(b,0) as bf16 pairs — unpacked here in VMEM."""
+    5=(r,g), 6=(b,0) as bf16 pairs — unpacked here in VMEM.
+    Packed + pack_pos rows: 0=gid, 1=(mx,my) already TILE-RELATIVE (packed
+    at expansion time, ops/pairs._expand_and_sort1), 2=(ca,cb), 3=(cc,op),
+    4=(r,g), 5=(b,0) — no center subtraction needed."""
     b = w.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
     mask = lane < valid
     gid = jnp.where(mask, w[0:1], -1.0)
-    mx = w[1:2] - tcx
-    my = w[2:3] - tcy
-    if packed:
+    if packed and pack_pos:
         from gaussiansplatting_tpu.ops.packing import unpack2
 
+        mx, my = unpack2(w[1:2])
+        ca, cb = unpack2(w[2:3])
+        cc, op0 = unpack2(w[3:4])
+        cr, cg = unpack2(w[4:5])
+        cbl, _ = unpack2(w[5:6])
+    elif packed:
+        from gaussiansplatting_tpu.ops.packing import unpack2
+
+        mx = w[1:2] - tcx
+        my = w[2:3] - tcy
         ca, cb = unpack2(w[3:4])
         cc, op0 = unpack2(w[4:5])
         cr, cg = unpack2(w[5:6])
         cbl, _ = unpack2(w[6:7])
     else:
+        mx = w[1:2] - tcx
+        my = w[2:3] - tcy
         ca, cb, cc = w[3:4], w[4:5], w[5:6]
         op0 = w[6:7]
         cr, cg, cbl = w[7:8], w[8:9], w[9:10]
@@ -548,6 +561,7 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     cfg_consts, group):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
+    pack_pos = len(cfg_consts) > 6 and bool(cfg_consts[6])
     g = pl.program_id(0)
     b = gid_ref.shape[-1]
     p2 = feats_ref.shape[0]
@@ -578,7 +592,7 @@ def _fwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             valid, tcx, tcy = _unpack_meta(
                 meta_ref[g * group + i], row0_ref[0], ts_, tiles_x
             )
-            gid, *c9 = _win_cols(w, valid, tcx, tcy, packed)
+            gid, *c9 = _win_cols(w, valid, tcx, tcy, packed, pack_pos)
             cols.append(tuple(c9))
             gid_ref[i] = gid[0]
         _, a_all, l_all = _group_replay(
@@ -616,6 +630,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
                     g_ref, *refs, cfg_consts, group):
     ts_, power_floor, alpha_cap, alpha_floor, tiles_x = cfg_consts[:5]
     packed = len(cfg_consts) > 5 and bool(cfg_consts[5])
+    pack_pos = len(cfg_consts) > 6 and bool(cfg_consts[6])
     *out_refs, scratch, sems, l_sc, a_sc, araw_sc, et_sc, w_sc, ew_sc = refs
     g = pl.program_id(0)
     b = out_refs[0].shape[-1]
@@ -650,7 +665,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             valid, tcx, tcy = _unpack_meta(
                 meta_ref[g * group + i], row0_ref[0], ts_, tiles_x
             )
-            _, *c9 = _win_cols(w, valid, tcx, tcy, packed)
+            _, *c9 = _win_cols(w, valid, tcx, tcy, packed, pack_pos)
             cols.append(tuple(c9))
         araw_all, a_all, l_all = _group_replay(
             cols, feats, (power_floor, alpha_cap, alpha_floor)

@@ -362,15 +362,18 @@ def render(
             cfg.overflow_drop, cfg.chunk_slack,
         )
         packed = cfg.payload_dtype == "bf16"
+        pack_pos = bool(packed and cfg.pack_positions)
         pcfg = (
             int(n), int(cfg.pair_capacity), int(tiles_x), int(tiles_y),
             int(block), str(cfg.grad_reduce),
             pairs_mod._chunk_capacity(cfg.pair_capacity, n, cfg.chunk_slack),
             True,    # depth-presorted: tile sort is single-key
             bool(packed),  # bf16 2-in-1 payload packing (ops/packing.py)
+            pack_pos,      # tile-relative bf16 position pack (roadmap #5)
+            int(ts),       # tile size for expansion-time tile centers
         )
         bconsts = (ts, cfg.power_floor, cfg.alpha_cap, cfg.alpha_floor,
-                   int(tiles_x), int(packed))
+                   int(tiles_x), int(packed), int(pack_pos))
         out, _gid_f, bt_f = _blend_windows(
             data, proj_p.depth, row0_i, total, counts, ccounts, coffsets,
             ty_lo, proj_p.tile_min[:, 0], span_x, (pcfg, bconsts),

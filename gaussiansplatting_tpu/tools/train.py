@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bf16 = 2-in-1 packed operands + bf16 MXU prefix "
                         "matmuls, ops/packing.py; the reference blends in "
                         "half precision, tiled_shaders.metal:326-328)")
+    p.add_argument("--pack-positions", type=int, choices=(0, 1), default=None,
+                   help="with --payload-dtype bf16: pack tile-relative "
+                        "screen positions as one bf16 sort operand "
+                        "(radius-bounded, sub-pixel quantization; one "
+                        "fewer fat-sort payload operand)")
     p.add_argument("--chunk-slack", type=float, default=None,
                    help="expansion chunk-padding allowance scale (1.0 = "
                         "worst case; 0.5 cuts fat-sort rows ~20%% at "
@@ -102,6 +107,8 @@ def apply_raster_overrides(raster, args, default_pair_capacity=None):
         raster = raster.replace(overflow_drop=args.overflow_drop)
     if args.payload_dtype is not None:
         raster = raster.replace(payload_dtype=args.payload_dtype)
+    if args.pack_positions is not None:
+        raster = raster.replace(pack_positions=bool(args.pack_positions))
     if args.chunk_slack is not None:
         raster = raster.replace(chunk_slack=args.chunk_slack)
     return raster

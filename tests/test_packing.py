@@ -149,3 +149,50 @@ def test_sol_model_sanity():
     assert slim["bytes_total"] < big["bytes_total"]
     for m in (f32, b16, big, slim):
         assert m["floor_ms"] == max(m["t_bytes_ms"], m["t_flops_ms"])
+
+
+def test_pack_positions_render_close_to_f32(rng):
+    """pack_positions (tile-relative bf16 positions, one packed sort
+    operand, docs/DESIGN.md roadmap #5): the render stays inside the bf16
+    payload envelope — position quantization is radius-bounded so its
+    power-term error (~r^2/sigma^2 * 2^-8) is the same order as the
+    conic/opacity quantization already accepted."""
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=48)
+    cfg_pp = RasterConfig(
+        pair_capacity=2048, pair_block=16, blend_impl="pallas",
+        payload_dtype="bf16", pack_positions=True,
+    )
+    img_f, aux_f = jax.jit(render, static_argnums=2)(params, cam, _cfg("f32"))
+    img_p, aux_p = jax.jit(render, static_argnums=2)(params, cam, cfg_pp)
+    assert int(aux_f.num_pairs) == int(aux_p.num_pairs)
+    diff = np.abs(np.asarray(img_f) - np.asarray(img_p))
+    assert diff.max() < 0.06, diff.max()
+    assert diff.mean() < 5e-3, diff.mean()
+
+
+@pytest.mark.slow
+def test_pack_positions_gradients_close_to_f32(rng):
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=48)
+    cfg_pp = RasterConfig(
+        pair_capacity=2048, pair_block=16, blend_impl="pallas",
+        payload_dtype="bf16", pack_positions=True,
+    )
+    weights = jnp.asarray(
+        rng.uniform(0.5, 1.0, (48, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p, cfg):
+        img, _ = render(p, cam, cfg)
+        return jnp.sum(img * weights)
+
+    gf = jax.jit(jax.grad(loss, allow_int=True), static_argnums=1)(
+        params, _cfg("f32"))
+    gp = jax.jit(jax.grad(loss, allow_int=True), static_argnums=1)(
+        params, cfg_pp)
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        a, b = np.asarray(getattr(gf, f)), np.asarray(getattr(gp, f))
+        assert np.isfinite(b).all(), f
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 5e-2, f"{f}: rel diff {rel}"

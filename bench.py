@@ -376,6 +376,7 @@ def main() -> None:
     m = sol.step_model(
         n_gauss, pair_cap, height, width,
         packed=cfg.raster.payload_dtype == "bf16",
+        pack_positions=cfg.raster.pack_positions,
     )
     step_ms = 1e3 / best_ips     # best window ~= the hardware's own rate
     sol_detail = {

@@ -42,6 +42,7 @@ def step_model(
     block: int = 128,
     packed: bool = False,
     chunk_slack: float = 1.0,
+    pack_positions: bool = False,
 ) -> dict:
     """Single-touch bytes + MXU flops for one fwd+bwd+Adam step at the
     given STATIC shapes.  Returns a dict with per-stage bytes, totals, and
@@ -59,7 +60,9 @@ def step_model(
     a_cap = pairs_mod.aligned_capacity(pair_capacity, tiles, block)
     nb = a_cap // block
 
-    d_sort = 6 if packed else 9          # data operands riding the fat sort
+    # data operands riding the fat sort: 9 f32, 6 bf16-packed, 5 with the
+    # tile-relative position pack (RasterConfig.pack_positions)
+    d_sort = (5 if pack_positions else 6) if packed else 9
     rows = 8 if packed else 16           # window-table rows (one/two tiles)
     n_out = 5 if packed else 9           # backward cotangent operands
     d_full = 9                           # unpacked cotangent columns

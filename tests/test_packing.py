@@ -142,6 +142,10 @@ def test_sol_model_sanity():
     assert b16["bytes_total"] < f32["bytes_total"]
     assert b16["mxu_flops"] == f32["mxu_flops"]
     assert b16["t_flops_ms"] < f32["t_flops_ms"]
+    pp = sol.step_model(100_000, 1 << 21, 608, 800, packed=True,
+                        pack_positions=True)
+    assert pp["bytes_total"] < b16["bytes_total"]
+    assert pp["mxu_flops"] == b16["mxu_flops"]
     big = sol.step_model(1_500_000, 1 << 24, 608, 800, packed=True)
     assert big["bytes_total"] > 4 * b16["bytes_total"]
     slim = sol.step_model(1_500_000, 1 << 24, 608, 800, packed=True,

@@ -184,8 +184,9 @@ def test_windowed_chunked_grid_matches_single_call(rng, monkeypatch):
 
     img1, aux1 = render(params, cam, cfg_p)
     g1 = jax.grad(loss, allow_int=True)(params)
-    monkeypatch.setattr(pallas_blend, "_MAX_CALL_BLOCKS", 16)
+    monkeypatch.setenv("GS_MAX_CALL_BLOCKS", "16")  # read per call (r5)
     img2, aux2 = render(params, cam, cfg_p)
+    assert pallas_blend.LAST_WIN_CALLS >= 2
     g2 = jax.grad(loss, allow_int=True)(params)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
     for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):

@@ -383,15 +383,17 @@ def test_scan_steps_loop_matches_single_dispatch(rng):
 @pytest.mark.slow
 def test_config4_feature_stack_integration(rng):
     """The exact feature combination of the reference-scale run
-    (scripts/run_config4.sh) at toy scale: bf16 payload + windowed Pallas
-    blend + scanned dispatch + adaptive pairs + adaptive capacity +
-    impact overflow drop, through densify and opacity-reset events."""
+    (scripts/run_config4.sh) at toy scale: bf16 payload + tile-relative
+    position packing + windowed Pallas blend + scanned dispatch + adaptive
+    pairs + adaptive capacity + impact overflow drop, through densify and
+    opacity-reset events."""
     from gaussiansplatting_tpu.ops.rasterize import render
 
     cfg = _cfg().replace(
         raster=RasterConfig(
             pair_capacity=1 << 12, pair_block=16, blend_impl="pallas",
-            payload_dtype="bf16", overflow_drop="impact", chunk_slack=0.5,
+            payload_dtype="bf16", pack_positions=True,
+            overflow_drop="impact", chunk_slack=0.5,
         ),
         density=DensityConfig(
             densify_from_iter=1, densify_until_iter=40, densify_interval=4,

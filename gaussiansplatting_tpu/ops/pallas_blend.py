@@ -537,19 +537,48 @@ def _win_start_copy(src_ref, tbl_ref, scratch, sems, g, i, b, group):
     ), start - a0
 
 
+def _power_impl() -> str:
+    """Quadratic-form evaluation strategy, read per trace (GS_BLEND_POWER):
+
+    * "mxu" (default): [P2, 8] @ [8, GROUP*B] coefficient matmul.  The MXU
+      pads K=8 to the 128-wide systolic array, so this costs ~16x its
+      useful flops — at bf16 triangular-matmul rate it (and the M=8 dcoef
+      matmul in the backward) becomes the kernel's MXU-effective
+      bottleneck.
+    * "vpu": direct 6-FMA evaluation of -0.5 d^T conic d on the VPU
+      ([P2, GROUP*B] elementwise with row/column broadcasts) and a
+      sublane-reduction backward — no padded small-K/small-M MXU issues.
+      Identical math, fp32 either way (reassociation-level differences
+      only).  On-chip A/B via the round-5 chain."""
+    return os.environ.get("GS_BLEND_POWER", "mxu")
+
+
 def _group_replay(cols, feats, consts):
-    """Batched replay for a whole GROUP: evaluate every block's powers with
-    ONE [P2, 8] @ [8, GROUP*B] MXU op (lane-concatenated coefficient
-    matrices) and every elementwise stage on ONE [P2, GROUP*B] tensor —
-    GROUP x fewer MXU issues and VPU dispatches than per-block evaluation,
-    identical values.  Returns (a_raw, a, l) as [P2, GROUP*B]."""
+    """Batched replay for a whole GROUP: evaluate every block's powers in
+    ONE op — an [P2, 8] @ [8, GROUP*B] MXU matmul or the VPU 6-FMA form
+    (see _power_impl) — and every elementwise stage on ONE [P2, GROUP*B]
+    tensor: GROUP x fewer issues than per-block evaluation, identical
+    values.  Returns (a_raw, a, l) as [P2, GROUP*B]."""
     power_floor, alpha_cap, alpha_floor = consts
-    coef_cat = jnp.concatenate(
-        [_coef8(mx, my, ca, cb, cc) for (mx, my, ca, cb, cc, *_r) in cols],
-        axis=1,
-    )                                      # [8, GROUP*B]
     op_cat = jnp.concatenate([c[5] for c in cols], axis=1)   # [1, GROUP*B]
-    power = jnp.dot(feats, coef_cat, preferred_element_type=jnp.float32)
+    if _power_impl() == "vpu":
+        px = feats[:, 3:4]                 # pixel x (feats col 3), [P2, 1]
+        py = feats[:, 4:5]
+        mx_c = jnp.concatenate([c[0] for c in cols], axis=1)
+        my_c = jnp.concatenate([c[1] for c in cols], axis=1)
+        ca_c = jnp.concatenate([c[2] for c in cols], axis=1)
+        cb_c = jnp.concatenate([c[3] for c in cols], axis=1)
+        cc_c = jnp.concatenate([c[4] for c in cols], axis=1)
+        dx = px - mx_c                     # [P2, GROUP*B]
+        dy = py - my_c
+        power = -0.5 * (ca_c * dx * dx + cc_c * dy * dy) - cb_c * (dx * dy)
+    else:
+        coef_cat = jnp.concatenate(
+            [_coef8(mx, my, ca, cb, cc)
+             for (mx, my, ca, cb, cc, *_r) in cols],
+            axis=1,
+        )                                  # [8, GROUP*B]
+        power = jnp.dot(feats, coef_cat, preferred_element_type=jnp.float32)
     a_raw = op_cat * jnp.exp(power)
     mask = (power <= 0.0) & (power >= power_floor) & (a_raw >= alpha_floor)
     a = jnp.where(mask, jnp.minimum(a_raw, alpha_cap), 0.0)
@@ -698,6 +727,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             w_sc[sl] = wgt
             ew_sc[sl] = e * wgt
         dl_all = _tri_dot(ew_sc[:], triu, packed)
+        power_vpu = _power_impl() == "vpu"
         # Phase 3: per-block chain rule to the nine column cotangents
         for i in range(group):
             sl = slice(i * p2, (i + 1) * p2)
@@ -708,11 +738,32 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             da = et_sc[sl] - dl / (1.0 - a)
             dpow = jnp.where(a > 0.0, da * araw_sc[sl], 0.0)
 
-            dcoef = jax.lax.dot_general(
-                feats, dpow, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dmx, dmy, dca, dcb, dcc = _chain_to_cols(dcoef, mx, my, ca, cb, cc)
+            if power_vpu:
+                # sublane-reduction backward instead of the M=8 dcoef
+                # matmul (see _power_impl): d power/d mx = ca*dx + cb*dy,
+                # so the five cotangents are moment sums of dpow against
+                # (dx, dy) — same algebra as _chain_to_cols, regrouped
+                px = feats[:, 3:4]
+                py = feats[:, 4:5]
+                dx = px - mx
+                dy = py - my
+                pdx = dpow * dx
+                pdy = dpow * dy
+                s_x = jnp.sum(pdx, axis=0, keepdims=True)     # [1, B]
+                s_y = jnp.sum(pdy, axis=0, keepdims=True)
+                dca = -0.5 * jnp.sum(pdx * dx, axis=0, keepdims=True)
+                dcb = -jnp.sum(pdx * dy, axis=0, keepdims=True)
+                dcc = -0.5 * jnp.sum(pdy * dy, axis=0, keepdims=True)
+                dmx = ca * s_x + cb * s_y
+                dmy = cb * s_x + cc * s_y
+            else:
+                dcoef = jax.lax.dot_general(
+                    feats, dpow, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dmx, dmy, dca, dcb, dcc = _chain_to_cols(
+                    dcoef, mx, my, ca, cb, cc
+                )
             sum_da = jnp.sum(dpow, axis=0)
             opv = op[0]
             dop = jnp.where(

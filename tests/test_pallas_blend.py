@@ -290,3 +290,42 @@ def test_chunked_windowed_grid_parity(rng, monkeypatch):
         b = np.asarray(getattr(g_c, f))
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 1e-5, f"{f} vs whole: rel diff {rel}"
+
+
+def test_vpu_power_impl_matches_mxu(rng, monkeypatch):
+    """GS_BLEND_POWER=vpu (direct 6-FMA quadratic form + sublane-reduction
+    backward, avoiding the 16x-padded K=8/M=8 MXU issues) is the same math
+    as the default coefficient-matmul path regrouped — image and all
+    parameter gradients agree to fp32 reassociation noise."""
+    import functools
+
+    params = _params(rng, n=64)
+    cam = make_camera_for_scene(width=64, height=48)
+    _, cfg_p = _cfgs()
+    weights = jnp.asarray(
+        rng.uniform(0.5, 1.0, (48, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p, cfg):
+        img, _ = render(p, cam, cfg)
+        return jnp.sum(img * weights)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def run_img(p, cfg, salt):
+        return render(p, cam, cfg)[0]
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def run_grad(p, cfg, salt):
+        return jax.grad(loss, allow_int=True)(p, cfg)
+
+    img_m = np.asarray(run_img(params, cfg_p, 0))
+    g_m = run_grad(params, cfg_p, 0)
+    monkeypatch.setenv("GS_BLEND_POWER", "vpu")
+    img_v = np.asarray(run_img(params, cfg_p, 1))
+    g_v = run_grad(params, cfg_p, 1)
+
+    np.testing.assert_allclose(img_v, img_m, atol=1e-5)
+    for f in ("means", "log_scales", "quats", "raw_opacities", "sh"):
+        a, b = np.asarray(getattr(g_m, f)), np.asarray(getattr(g_v, f))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 1e-4, f"{f}: rel diff {rel}"

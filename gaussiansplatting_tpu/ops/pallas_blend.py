@@ -706,6 +706,7 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             a_sc[sl] = a_all[:, lane]
             araw_sc[sl] = araw_all[:, lane]
         cum_all = _tri_dot(l_sc[:], tril, packed)
+        power_vpu = _power_impl() == "vpu"
         # Phase 2: transmittance + cotangent-weighted terms per block
         gss = []
         for i in range(group):
@@ -717,17 +718,24 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             g_c = jnp.where(row == 3, 0.0, gg)
             gss.append((g_c, gg[3, :]))
             _, _, _, _, _, _, cr, cg, cbl = cols[i]
-            z = jnp.zeros_like(cr)
-            color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
-            e = jax.lax.dot_general(
-                g_c, color4, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if power_vpu:
+                # K=4 matmul (32x MXU padding) -> three outer-product FMAs
+                e = (
+                    gg[0, :][:, None] * cr
+                    + gg[1, :][:, None] * cg
+                    + gg[2, :][:, None] * cbl
+                )
+            else:
+                z = jnp.zeros_like(cr)
+                color4 = jnp.concatenate([cr, cg, cbl, z], axis=0)
+                e = jax.lax.dot_general(
+                    g_c, color4, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             et_sc[sl] = e * t
             w_sc[sl] = wgt
             ew_sc[sl] = e * wgt
         dl_all = _tri_dot(ew_sc[:], triu, packed)
-        power_vpu = _power_impl() == "vpu"
         # Phase 3: per-block chain rule to the nine column cotangents
         for i in range(group):
             sl = slice(i * p2, (i + 1) * p2)
@@ -769,12 +777,20 @@ def _bwd_kernel_win(src_ref, meta_ref, row0_ref, tbl_ref, feats_ref,
             dop = jnp.where(
                 opv > 0.0, sum_da / jnp.where(opv > 0.0, opv, 1.0), 0.0
             )
-            dcol = jax.lax.dot_general(
-                g_c, w_sc[sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if power_vpu:
+                # M=4 matmul (32x MXU padding) -> three sublane reductions
+                w_i = w_sc[sl]
+                dcr = jnp.sum(g_c[0, :][:, None] * w_i, axis=0)
+                dcg = jnp.sum(g_c[1, :][:, None] * w_i, axis=0)
+                dcb2 = jnp.sum(g_c[2, :][:, None] * w_i, axis=0)
+            else:
+                dcol = jax.lax.dot_general(
+                    g_c, w_sc[sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dcr, dcg, dcb2 = dcol[0], dcol[1], dcol[2]
             cots = (dmx[0], dmy[0], dca[0], dcb[0], dcc[0],
-                    dop, dcol[0], dcol[1], dcol[2])
+                    dop, dcr, dcg, dcb2)
             if packed:
                 # bf16-pair pack the nine cotangents into five output rows;
                 # the by-gid reduction sort then carries 6 operands instead

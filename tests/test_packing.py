@@ -200,3 +200,27 @@ def test_pack_positions_gradients_close_to_f32(rng):
         assert np.isfinite(b).all(), f
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 5e-2, f"{f}: rel diff {rel}"
+
+
+def test_pack_positions_strip_render_matches_full(rng):
+    """pack_positions under tile_rows strips (the multi-chip path): the
+    expansion-time tile centers use ABSOLUTE tile rows, the kernel
+    reconstructs them from strip-local ids + row0 — a mismatch would shift
+    every splat by 16 px per strip row.  Strips must stack to the full
+    frame."""
+    params = _params(rng)
+    cam = make_camera_for_scene(width=64, height=64)  # 4 tile rows
+    cfg = RasterConfig(
+        pair_capacity=2048, pair_block=16, blend_impl="pallas",
+        payload_dtype="bf16", pack_positions=True,
+    )
+    full, _ = jax.jit(render, static_argnums=2)(params, cam, cfg)
+
+    strips = []
+    for row0 in range(0, 4, 2):
+        s, _ = jax.jit(
+            render, static_argnums=(2, 4, 5)
+        )(params, cam, cfg, None, 256, (row0, 2))
+        strips.append(np.asarray(s))
+    stacked = np.concatenate(strips, axis=0)[: cam.height]
+    np.testing.assert_allclose(stacked, np.asarray(full), atol=1e-5)

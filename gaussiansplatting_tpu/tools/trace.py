@@ -27,7 +27,8 @@ import json
 import os
 
 
-def capture(steps, n, width, height, pair_capacity, payload_dtype, out):
+def capture(steps, n, width, height, pair_capacity, payload_dtype, out,
+            pack_positions=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -40,7 +41,7 @@ def capture(steps, n, width, height, pair_capacity, payload_dtype, out):
     cfg = Config(
         raster=RasterConfig(
             pair_capacity=pair_capacity, pair_block=128,
-            payload_dtype=payload_dtype,
+            payload_dtype=payload_dtype, pack_positions=pack_positions,
         ),
         loss=LossConfig(dssim_in_grad=False),
     )
@@ -152,6 +153,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=608)
     p.add_argument("--pair-capacity", type=int, default=1 << 21)
     p.add_argument("--payload-dtype", choices=("f32", "bf16"), default="f32")
+    p.add_argument("--pack-positions", type=int, choices=(0, 1), default=0,
+                   help="tile-relative bf16 position packing (needs bf16)")
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--out", default="/tmp/gs_trace")
     p.add_argument("--parse-only", action="store_true",
@@ -160,7 +163,8 @@ def main(argv=None) -> int:
 
     if not args.parse_only:
         capture(args.steps, args.n, args.width, args.height,
-                args.pair_capacity, args.payload_dtype, args.out)
+                args.pair_capacity, args.payload_dtype, args.out,
+                pack_positions=bool(args.pack_positions))
     for name, ms in aggregate(args.out, args.steps, args.top):
         print(f"{ms:9.3f} ms/step  {name}")
     return 0

@@ -88,3 +88,19 @@ def test_repo_lkg_seed_is_valid():
         seed = json.load(f)
     assert seed["record"]["value"] > 0
     assert seed["commit"]
+
+
+def test_smoke_outage_keeps_its_own_metric(bench, tmp_path, monkeypatch):
+    """A --smoke claim failure must NOT re-emit the stale train-step record
+    (a pass/fail gate is not a throughput); it reports its own metric."""
+    lkg = tmp_path / "lkg.json"
+    lkg.write_text(json.dumps({
+        "record": {"metric": "train_step_iters_per_sec", "value": 6.8,
+                   "unit": "iters/s", "vs_baseline": 0.68, "detail": {}},
+        "commit": "x", "measured_at": "2026-08-16T00:00:00Z",
+    }))
+    monkeypatch.setenv("GS_BENCH_LKG_PATH", str(lkg))
+    out = json.loads(bench._claim_failed_diag(600.0, smoke=True))
+    assert out["metric"] == "tpu_kernel_smoke_pass"
+    assert out["value"] == 0.0
+    assert "error" in out["detail"]

@@ -413,8 +413,8 @@ def test_view_server_interactive_training(tiny_scene_dir):
 
 @pytest.mark.slow
 def test_train_cli_round3_flags(tiny_scene_dir, tmp_path):
-    """--payload-dtype bf16 / --overflow-drop impact / --scan-steps all
-    plumb through the CLI into a working run."""
+    """--payload-dtype bf16 / --pack-positions / --overflow-drop impact /
+    --scan-steps all plumb through the CLI into a working run."""
     from gaussiansplatting_tpu.tools import train as train_cli
     from gaussiansplatting_tpu.io import ply as ply_mod
 
@@ -434,6 +434,7 @@ def test_train_cli_round3_flags(tiny_scene_dir, tmp_path):
         "--capacity", "64",
         "--pair-capacity", "2048",
         "--payload-dtype", "bf16",
+        "--pack-positions", "1",
         "--overflow-drop", "impact",
         "--scan-steps", "2",
     ])

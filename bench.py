@@ -98,6 +98,23 @@ def _claim_failed_diag(timeout: float, attempts: int = 1,
             lkg = json.load(f)
         record = dict(lkg["record"])
         detail = dict(record.get("detail") or {})
+        # only substitute a stale record for the SAME workload/config —
+        # an A/B arm (small size, f32 payload, pack_positions, dssim)
+        # must not silently report the headline config's number
+        small = bool(int(os.environ.get("GS_BENCH_SMALL", "0")))
+        want = {
+            "n_gaussians": 10_000 if small else 100_000,
+            "payload_dtype": os.environ.get("GS_BENCH_PAYLOAD", "bf16"),
+            "pack_positions": bool(
+                int(os.environ.get("GS_BENCH_PACK_POS", "0"))
+            ),
+            "dssim_in_grad": bool(
+                int(os.environ.get("GS_BENCH_DSSIM_GRAD", "0"))
+            ),
+        }
+        for k, v in want.items():
+            if k in detail and detail[k] != v:
+                raise KeyError(f"lkg config mismatch: {k}")
         detail.update({
             "stale": True,
             "measured_at": lkg.get("measured_at"),
@@ -283,10 +300,11 @@ def _supervise() -> None:
             file=sys.stderr, flush=True,
         )
         if elapsed + sleep_s >= budget:
+            is_smoke = "--smoke" in sys.argv or bool(
+                int(os.environ.get("GS_BENCH_SMOKE", "0"))
+            )
             print(
-                _claim_failed_diag(
-                    elapsed, attempts, smoke="--smoke" in sys.argv
-                ),
+                _claim_failed_diag(elapsed, attempts, smoke=is_smoke),
                 flush=True,
             )
             raise SystemExit(3)

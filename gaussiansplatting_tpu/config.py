@@ -78,7 +78,9 @@ class RasterConfig(_Replaceable):
     # error (~r^2/sigma^2 * 2^-8 ~ 0.035) is inside the bf16 blend
     # envelope.  Drops the fat (tile, depth) sort by one payload operand
     # (~1 ms at 2M pairs, ~6 ms at 16M) and removes the in-kernel tile-
-    # center subtraction.  No effect unless payload_dtype="bf16".
+    # center subtraction.  WINDOWED Pallas path only (blend_impl "pallas",
+    # or "auto" on TPU, with t_floor_exact=False); ignored elsewhere, and
+    # no effect unless payload_dtype="bf16".
     pack_positions: bool = False
     # Which Gaussians lose their pairs when the frame exceeds pair_capacity:
     # "index" reproduces the reference's write-cursor bounds check

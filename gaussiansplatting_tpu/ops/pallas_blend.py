@@ -479,7 +479,11 @@ def _unpack_meta(meta, row0, ts, tiles_x):
     """Per-block metadata packed into ONE scalar-prefetch i32 (SMEM is 1 MB;
     at 8M-pair capacity four [NB] arrays overflow it): bits 20.. = valid
     lane count, bits 0..19 = strip-local tile id.  Tile centers derive from
-    the tile id in kernel."""
+    the tile id in kernel.  CONVENTION: center = absolute_tile_index * ts +
+    ts/2 — must match the expansion-time centers in
+    ops/pairs._expand_and_sort1 (pack_positions) exactly;
+    tests/test_packing.py::test_pack_positions_strip_render_matches_full
+    pins the pairing."""
     valid = meta >> 20
     t = meta & 0xFFFFF
     half = ts / 2.0

@@ -134,7 +134,9 @@ def main(argv=None) -> int:
         overflow_flags.append(metrics.overflow)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
-    overflow_steps = int(np.sum([np.asarray(f) for f in overflow_flags]))
+    # ONE stacked transfer: per-flag np.asarray pulls would pay the ~100 ms
+    # tunnel RTT once per iteration
+    overflow_steps = int(np.asarray(jnp.stack(overflow_flags).sum()))
     psnr1 = mean_psnr(st, cams, gts, eval_raster)
     psnr_holdout = (
         mean_psnr(st, eval_cams, eval_gts, eval_raster)

@@ -224,6 +224,19 @@ def main(argv=None) -> int:
     else:
         state = state_mod.create(params, seed=cfg.train.seed)
 
+    if topo["process_count"] > 1:
+        # Write-once checkpoints assume a SHARED filesystem (process 0
+        # writes, everyone reads).  If hosts disagree on the resume point
+        # (e.g. local disks: only host 0 finds latest.npz), the SPMD loop
+        # would silently mix divergent state — fail loudly instead.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.assert_equal(
+            np.int64(int(state.opt.t)),
+            "resume iteration differs across hosts: checkpoints must live "
+            "on a shared filesystem (only process 0 writes them)",
+        )
+
     gts = [jax.device_put(g) for g in gts]
 
     # Per-step metrics stay ON DEVICE and flush in batches: each host read
@@ -255,6 +268,11 @@ def main(argv=None) -> int:
             )
 
     def metrics_fn(iteration, metrics):
+        if not primary:
+            # secondaries would stack + pull + format + discard (their
+            # logger has no file and no echo) — skip the ~100 ms tunnel
+            # sync per flush; the stack/pull is a host read, not SPMD
+            return
         vec = jnp.stack([
             metrics.loss, metrics.l1, metrics.dssim, metrics.psnr,
             metrics.num_gaussians.astype(jnp.float32),

@@ -104,3 +104,35 @@ def test_smoke_outage_keeps_its_own_metric(bench, tmp_path, monkeypatch):
     assert out["metric"] == "tpu_kernel_smoke_pass"
     assert out["value"] == 0.0
     assert "error" in out["detail"]
+
+
+def test_stale_fallback_requires_matching_config(bench, tmp_path, monkeypatch):
+    """An A/B arm (different payload/size/knobs) must not inherit the
+    headline config's stale number — config mismatch degrades to the
+    explicit zero diagnostic."""
+    lkg = tmp_path / "lkg.json"
+    lkg.write_text(json.dumps({
+        "record": {
+            "metric": "train_step_iters_per_sec_100k_800x608",
+            "value": 6.8, "unit": "iters/s", "vs_baseline": 0.68,
+            "detail": {"n_gaussians": 100000, "payload_dtype": "bf16",
+                       "pack_positions": False, "dssim_in_grad": False},
+        },
+        "commit": "x", "measured_at": "2026-08-16T00:00:00Z",
+    }))
+    monkeypatch.setenv("GS_BENCH_LKG_PATH", str(lkg))
+
+    # same config -> stale record
+    out = json.loads(bench._claim_failed_diag(600.0))
+    assert out["value"] == 6.8 and out["detail"]["stale"] is True
+
+    # different payload -> zero diagnostic
+    monkeypatch.setenv("GS_BENCH_PAYLOAD", "f32")
+    out = json.loads(bench._claim_failed_diag(600.0))
+    assert out["value"] == 0.0
+    monkeypatch.delenv("GS_BENCH_PAYLOAD")
+
+    # different knob -> zero diagnostic
+    monkeypatch.setenv("GS_BENCH_PACK_POS", "1")
+    out = json.loads(bench._claim_failed_diag(600.0))
+    assert out["value"] == 0.0

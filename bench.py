@@ -430,9 +430,14 @@ def main() -> None:
 
     # per-stage split (the reference's per-100-frame stage printout,
     # tiled_rasterizer.mm:639-671): cumulative stages measured with the same
-    # fori-loop differencing as tools/profile.py
+    # fori-loop differencing as tools/profile.py.  OPT-IN (GS_BENCH_STAGES=1):
+    # it recompiles three more full-size programs (~90 s each on the tunneled
+    # remote compiler, measured 2026-08-18), which pushed the whole bench past
+    # the driver's timeout — and CLAUDE.md documents that differently-DCE'd
+    # cumulative probes mislead by 2-5x anyway; tools/trace.py is the real
+    # per-op profiler.
     stages = {}
-    if not small and not bool(int(os.environ.get("GS_BENCH_NO_STAGES", "0"))):
+    if not small and bool(int(os.environ.get("GS_BENCH_STAGES", "0"))):
         from gaussiansplatting_tpu.tools.profile import stage_times
 
         # pairs pipeline / +blend / full step (cumulative); loss ~= step-fwd

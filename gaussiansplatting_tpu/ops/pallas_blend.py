@@ -90,9 +90,16 @@ def _tri_dot(x, tri, low_precision):
     (tiled_shaders.metal:326-328) — and fp32-peak 10 ms of matmul becomes
     ~2.6 ms at bf16 peak."""
     if low_precision:
+        # precision must be DEFAULT here: the package-level
+        # jax_default_matmul_precision="highest" would stamp the dot with
+        # contract_precision<fp32>, which Mosaic rejects for bf16 operands
+        # ("Bad lhs type", first observed on-chip 2026-08-18).  DEFAULT is
+        # the native one-pass bf16 MXU contraction with f32 accumulation —
+        # exactly the fast path this mode exists for.
         return jax.lax.dot_general(
             x.astype(jnp.bfloat16), tri.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)

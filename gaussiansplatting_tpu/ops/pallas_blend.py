@@ -54,10 +54,12 @@ def _group() -> int:
     import-time read silently ignores env changes made after the package is
     first imported).  With the batched triangular matmuls the group size
     sets the M dimension of the flop-dominant MXU ops ([GROUP*256, B]).
-    GS_BLEND_GROUP=1 is the per-block fallback path (no batching across
-    blocks) — keep it selectable until the batched kernels are validated on
-    real hardware.  GROUP=16 doubles the backward's VMEM scratch past the
-    16 MB/core budget; _call_win guards this with an explicit error."""
+    On the compiled TPU path GROUP=8 is the only viable point (validated
+    on-chip 2026-08-18, bench 10.73 it/s): values not divisible by 8 fail
+    Mosaic's sublane rule for the [GROUP, block] outputs, and 16 doubles
+    the backward's VMEM scratch past the 16 MB/core budget — _call_win
+    guards both with explicit errors.  Interpret mode (tests) accepts any
+    value; GS_BLEND_GROUP=1 remains the per-block reference path there."""
     return int(os.environ.get("GS_BLEND_GROUP", "8"))
 
 
@@ -869,6 +871,20 @@ def _call_win(kernel, table, src, valid, tile, row0, block, extra_in,
         assert block % 128 == 0, (
             f"windowed TPU blend needs pair_block % 128 == 0, got {block}"
         )
+        # Sublane guard (measured on-chip 2026-08-18): the [GROUP, block]
+        # per-block outputs (gid floats etc.) lower as blocks with GROUP as
+        # the second-to-last dim, and Mosaic requires it divisible by 8 —
+        # GS_BLEND_GROUP=4 (and =1) fail at lowering with a BlockSpec error.
+        # Combined with the VMEM ceiling below (16 cannot fit), GROUP=8 is
+        # the only compiled-path point; other values remain available in
+        # interpret mode for tests.
+        if group % 8 != 0:
+            raise ValueError(
+                f"GS_BLEND_GROUP={group} does not lower on TPU: Mosaic "
+                "needs the [GROUP, block] output block sublane-divisible "
+                "by 8. Use a multiple of 8 (8 fits VMEM; interpret mode "
+                "accepts any value)."
+            )
         # VMEM ceiling guard (ADVICE r4): the batched-group kernels hold
         # group_scratch [group*P2, block] f32 stacks, the [group, rows,
         # 2*block] DMA window scratch, and ~4 [P2, group*block] batched-
